@@ -1,0 +1,89 @@
+"""Byte-compatible readers/writers for the reference's parameter files.
+
+Format (reference /root/reference/tools/parameterio.cpp:16-56,60-244): 4-byte
+magic "F0  " / "SPEC" / "AP  ", then tagged fields — ("NOF ", i32),
+("FP  ", f64), and for SPEC/AP also ("FFT ", i32), ("NOD ", i32),
+("FS  ", i32) — followed by raw little-endian float64 frames.  NOD == 0 means
+the full fft_size/2 + 1 bins.
+
+Files ending in .gz are transparently decompressed on read.
+"""
+
+from __future__ import annotations
+
+import gzip
+import struct
+
+import numpy as np
+
+
+def _open_read(path):
+    if str(path).endswith(".gz"):
+        return gzip.open(path, "rb")
+    return open(path, "rb")
+
+
+def write_f0(path, f0, frame_period):
+    f0 = np.ascontiguousarray(f0, dtype="<f8")
+    with open(path, "wb") as f:
+        f.write(b"F0  ")
+        f.write(b"NOF " + struct.pack("<i", len(f0)))
+        f.write(b"FP  " + struct.pack("<d", frame_period))
+        f.write(f0.tobytes())
+
+
+def read_f0(path):
+    """Returns (f0 [F], temporal_positions [F], frame_period)."""
+    with _open_read(path) as f:
+        data = f.read()
+    if data[:4] != b"F0  ":
+        raise ValueError(f"{path}: bad F0 magic")
+    (nof,) = struct.unpack("<i", data[8:12])
+    (fp,) = struct.unpack("<d", data[16:24])
+    f0 = np.frombuffer(data[24:24 + 8 * nof], "<f8").copy()
+    tpos = np.arange(nof) / 1000.0 * fp
+    return f0, tpos, fp
+
+
+def _write_matrix(path, magic, mat, fs, frame_period, fft_size, nod=0):
+    mat = np.ascontiguousarray(mat, dtype="<f8")
+    with open(path, "wb") as f:
+        f.write(magic)
+        f.write(b"NOF " + struct.pack("<i", mat.shape[0]))
+        f.write(b"FP  " + struct.pack("<d", frame_period))
+        f.write(b"FFT " + struct.pack("<i", fft_size))
+        f.write(b"NOD " + struct.pack("<i", nod))
+        f.write(b"FS  " + struct.pack("<i", fs))
+        f.write(mat.tobytes())
+
+
+def _read_matrix(path, magic):
+    with _open_read(path) as f:
+        data = f.read()
+    if data[:4] != magic:
+        raise ValueError(f"{path}: bad magic {data[:4]!r} != {magic!r}")
+    (nof,) = struct.unpack("<i", data[8:12])
+    (fp,) = struct.unpack("<d", data[16:24])
+    (fft_size,) = struct.unpack("<i", data[28:32])
+    (nod,) = struct.unpack("<i", data[36:40])
+    (fs,) = struct.unpack("<i", data[44:48])
+    ndim = fft_size // 2 + 1 if nod == 0 else nod
+    mat = np.frombuffer(data[48:48 + 8 * nof * ndim], "<f8")
+    return mat.reshape(nof, ndim).copy(), dict(
+        fs=fs, frame_period=fp, fft_size=fft_size, nod=nod)
+
+
+def write_spectral_envelope(path, spectrogram, fs, frame_period, fft_size, nod=0):
+    _write_matrix(path, b"SPEC", spectrogram, fs, frame_period, fft_size, nod)
+
+
+def read_spectral_envelope(path):
+    return _read_matrix(path, b"SPEC")
+
+
+def write_aperiodicity(path, aperiodicity, fs, frame_period, fft_size, nod=0):
+    _write_matrix(path, b"AP  ", aperiodicity, fs, frame_period, fft_size, nod)
+
+
+def read_aperiodicity(path):
+    return _read_matrix(path, b"AP  ")

@@ -1,0 +1,265 @@
+"""DSP filter primitives: windows, IIR filtering (associative-scan), decimate,
+DC correction and linear spectral smoothing.
+
+Reference: /root/reference/src/world_common.cpp:56-126 (DCCorrection,
+LinearSmoothing, NuttallWindow) and
+/root/reference/src/world_matlabfunctions.cpp:27-125,184-210 (decimate and its
+hard-coded per-ratio IIR table).
+
+TPU notes: the reference runs its IIR filters as sequential time loops; here
+they are O(log T) `jax.lax.associative_scan` compositions of affine state
+maps, which XLA parallelizes across the vector unit instead of serializing.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+from worldtpu import constants as C
+
+# Decimation anti-alias filter coefficients, indexed by ratio r=2..12.
+# Verbatim from FilterForDecimate
+# (/root/reference/src/world_matlabfunctions.cpp:27-113).
+_DECIMATE_COEFFS = {
+    11: ((2.450743295230728, -2.06794904601978, 0.59574774438332101),
+         (0.0026822508007163792, 0.0080467524021491377)),
+    12: ((2.4981398605924205, -2.1368928194784025, 0.62187513816221485),
+         (0.0021097275904709001, 0.0063291827714127002)),
+    10: ((2.3936475118069387, -1.9873904075111861, 0.5658879979027055),
+         (0.0034818622251927556, 0.010445586675578267)),
+    9: ((2.3236003491759578, -1.8921545617463598, 0.53148928133729068),
+        (0.0046331164041389372, 0.013899349212416812)),
+    8: ((2.2357462340187593, -1.7780899984041358, 0.49152555365968692),
+        (0.0063522763407111993, 0.019056829022133598)),
+    7: ((2.1225239019534703, -1.6395144861046302, 0.44469707800587366),
+        (0.0090366882681608418, 0.027110064804482525)),
+    6: ((1.9715352749512141, -1.4686795689225347, 0.3893908434965701),
+        (0.013469181309343825, 0.040407543928031475)),
+    5: ((1.7610939654280557, -1.2554914843859768, 0.3237186507788215),
+        (0.021334858522387423, 0.06400457556716227)),
+    4: ((1.4499664446880227, -0.98943497080950582, 0.24578252340690215),
+        (0.036710750339322612, 0.11013225101796784)),
+    3: ((0.95039378983237421, -0.67429146741526791, 0.15412211621346475),
+        (0.071221945171178636, 0.21366583551353591)),
+    2: ((0.041156734567757189, -0.42599112459189636, 0.041037215479961225),
+        (0.16797464681802227, 0.50392394045406674)),
+}
+
+
+def nuttall_window(length, dtype=jnp.float64):
+    """Nuttall window of given static length.
+
+    Reference: NuttallWindow (/root/reference/src/world_common.cpp:118-126).
+    """
+    t = jnp.arange(length, dtype=dtype) / (length - 1.0)
+    return (0.355768
+            - 0.487396 * jnp.cos(2.0 * C.PI * t)
+            + 0.144232 * jnp.cos(4.0 * C.PI * t)
+            - 0.012604 * jnp.cos(6.0 * C.PI * t))
+
+
+def nuttall_window_ragged(length, max_length, dtype=jnp.float64):
+    """Nuttall window of dynamic ``length`` padded with zeros to max_length."""
+    i = jnp.arange(max_length, dtype=dtype)
+    t = i / (jnp.asarray(length, dtype) - 1.0)
+    w = (0.355768
+         - 0.487396 * jnp.cos(2.0 * C.PI * t)
+         + 0.144232 * jnp.cos(4.0 * C.PI * t)
+         - 0.012604 * jnp.cos(6.0 * C.PI * t))
+    return jnp.where(i < length, w, 0.0)
+
+
+def _affine_combine(a, b):
+    """Compose affine maps s -> A s + c; b is applied after a."""
+    a_mat, a_vec = a
+    b_mat, b_vec = b
+    return (b_mat @ a_mat if a_mat.ndim == 2 else jnp.einsum(
+        "...ij,...jk->...ik", b_mat, a_mat),
+        jnp.einsum("...ij,...j->...i", b_mat, a_vec) + b_vec)
+
+
+def iir_affine_scan(x, a_coeffs, b_coeffs):
+    """Run the reference's direct-form-II IIR over time with associative scan.
+
+    The recurrence (FilterForDecimate,
+    /root/reference/src/world_matlabfunctions.cpp:115-124)::
+
+        wt   = x[i] + a0*w0 + a1*w1 + a2*w2
+        y[i] = b0*wt + b1*w0 + b1*w1 + b0*w2
+        (w0, w1, w2) <- (wt, w0, w1)
+
+    is expressed on the 4-state vector s=(wt, w0, w1, w2) (post-update, with
+    the pre-update w2 kept as the 4th slot) so the output is a pure linear
+    read of the scanned state: y = (b0, b1, b1, b0) . s.
+
+    Args:
+        x: [T] input signal.
+        a_coeffs: (a0, a1, a2) feedback coefficients.
+        b_coeffs: (b0, b1) feedforward coefficients.
+
+    Returns:
+        [T] filtered output.
+    """
+    a0, a1, a2 = a_coeffs
+    b0, b1 = b_coeffs
+    dt = x.dtype
+    step = jnp.array(
+        [[a0, a1, a2, 0.0],
+         [1.0, 0.0, 0.0, 0.0],
+         [0.0, 1.0, 0.0, 0.0],
+         [0.0, 0.0, 1.0, 0.0]], dtype=dt)
+    mats = jnp.broadcast_to(step, (x.shape[0], 4, 4))
+    vecs = x[:, None] * jnp.array([1.0, 0.0, 0.0, 0.0], dtype=dt)
+    out_mats, out_vecs = jax.lax.associative_scan(_affine_combine, (mats, vecs))
+    del out_mats
+    read = jnp.array([b0, b1, b1, b0], dtype=dt)
+    return out_vecs @ read
+
+
+def biquad_zero_lag(x, a_coeffs, b_coeffs):
+    """Zero-lag (forward-backward, reversed-output) biquad used by Harvest's
+    F0 smoothing (filteringF0, /root/reference/src/harvest.cpp:639-665).
+
+    The reference filters forward writing the output REVERSED, then filters
+    that reversed signal forward writing reversed again — i.e. a standard
+    forward-backward zero-phase pass.
+
+    Recurrence: wt = x + a0*w0 + a1*w1; y = b0*wt + b1*w0 + b0*w1.
+    State s = (wt, w0, w1) post-update with pre-update w1 as 3rd slot:
+    y = (b0, b1, b0) . (wt, w0_old, w1_old).
+    """
+    a0, a1 = a_coeffs
+    b0, b1 = b_coeffs
+    dt = x.dtype
+
+    def one_pass(sig):
+        step = jnp.array(
+            [[a0, a1, 0.0],
+             [1.0, 0.0, 0.0],
+             [0.0, 1.0, 0.0]], dtype=dt)
+        mats = jnp.broadcast_to(step, (sig.shape[0], 3, 3))
+        vecs = sig[:, None] * jnp.array([1.0, 0.0, 0.0], dtype=dt)
+        _, out_vecs = jax.lax.associative_scan(_affine_combine, (mats, vecs))
+        read = jnp.array([b0, b1, b0], dtype=dt)
+        return out_vecs @ read
+
+    y1 = one_pass(x)[::-1]
+    return one_pass(y1)[::-1]
+
+
+def decimate(x, r):
+    """Zero-phase decimation by integer ratio r (2..12).
+
+    Reference: decimate (/root/reference/src/world_matlabfunctions.cpp:184-210):
+    reflect-pad by 9 samples with 2*edge - x mirroring, forward IIR, reverse,
+    forward IIR, reverse, then pick every r-th sample starting at ``nbeg``.
+
+    Args:
+        x: [T] signal.
+        r: static int ratio.
+
+    Returns:
+        [T//r + 1] decimated signal.
+    """
+    if r not in _DECIMATE_COEFFS:
+        raise ValueError(f"unsupported decimation ratio {r}")
+    a, b = _DECIMATE_COEFFS[r]
+    k_nfact = 9
+    head = 2.0 * x[0] - x[k_nfact:0:-1]
+    tail = 2.0 * x[-1] - x[-2:-2 - k_nfact:-1]
+    xx = jnp.concatenate([head, x, tail])
+    y1 = iir_affine_scan(xx, a, b)[::-1]
+    y2 = iir_affine_scan(y1, a, b)[::-1]
+    x_length = x.shape[0]
+    nout = x_length // r + 1
+    nbeg = r - r * nout + x_length
+    # y[count] = tmp1[i + kNFact - 1] for i = nbeg, nbeg+r, ... while
+    # i < x_length + kNFact — note this yields MORE than nout picks when
+    # r < kNFact; harvest only consumes a window of them
+    # (/root/reference/src/harvest.cpp:232).
+    n_picks = -(-(x_length + k_nfact - nbeg) // r)
+    idx = nbeg + k_nfact - 1 + r * jnp.arange(n_picks)
+    return y2[idx]
+
+
+def dc_correction(power_spectrum, f0, fs, fft_size):
+    """Mirror sub-F0 power back onto the low bins.
+
+    Reference: DCCorrection (/root/reference/src/world_common.cpp:61-80).
+    Operates on one frame; vmap over frames with per-frame f0.
+
+    Args:
+        power_spectrum: [K] with K = fft_size//2 + 1.
+        f0: scalar frame F0.
+
+    Returns:
+        [K] corrected power spectrum.
+    """
+    k = power_spectrum.shape[-1]
+    dt = power_spectrum.dtype
+    f0 = jnp.asarray(f0, dtype=dt)
+    i = jnp.arange(k, dtype=dt)
+    upper_limit = 2 + (f0 * fft_size / fs).astype(jnp.int32)
+    # interp1Q(x0=f0, dx=-fs/fft, y=input, xi=i*fs/fft) for i < upper_limit-1
+    pos = f0 * fft_size / fs - i  # = (xi - f0)/(-fs/fft)
+    base = pos.astype(jnp.int32)
+    frac = pos - base.astype(dt)
+    base_c = jnp.clip(base, 0, k - 2)
+    y0 = jnp.take(power_spectrum, base_c)
+    y1 = jnp.take(power_spectrum, base_c + 1)
+    replica = y0 + (y1 - y0) * frac
+    add = jnp.where(i < (upper_limit - 1).astype(dt), replica, 0.0)
+    return power_spectrum + add
+
+
+def linear_smoothing(power_spectrum, width, fs, fft_size, max_boundary):
+    """Rectangular smoothing of a power spectrum over ``width`` Hz.
+
+    Reference: LinearSmoothing (/root/reference/src/world_common.cpp:82-116):
+    mirror the spectrum by ``boundary`` bins on both sides, integrate
+    (cumulative sum of bin power * fs/fft), then take the difference of the
+    integral at f + width/2 and f - width/2 over width.
+
+    Operates on one frame; vmap with per-frame width.  ``max_boundary`` is the
+    static padding bound: int(max_width * fft / fs) + 1.
+
+    Args:
+        power_spectrum: [K].
+        width: scalar smoothing width in Hz (dynamic).
+        max_boundary: static int >= boundary for every frame.
+
+    Returns:
+        [K] smoothed spectrum.
+    """
+    k = power_spectrum.shape[-1]
+    half = k - 1  # fft_size // 2
+    dt = power_spectrum.dtype
+    width = jnp.asarray(width, dtype=dt)
+    boundary = (width * fft_size / fs).astype(jnp.int32) + 1
+
+    # mirrored spectrum, padded to static length K + 2*max_boundary
+    j = jnp.arange(k + 2 * max_boundary) - boundary  # signed position
+    refl = jnp.abs(j)
+    refl = jnp.where(refl > half, fft_size - refl, refl)
+    refl = jnp.clip(refl, 0, half)
+    mirr = jnp.take(power_spectrum, refl)
+
+    seg = jnp.cumsum(mirr * (fs / fft_size)).astype(dt)
+
+    # interp1Q(origin=-(boundary-0.5)*fs/fft, dx=fs/fft, seg, freq -+ width/2)
+    i = jnp.arange(k, dtype=dt)
+    u = width * fft_size / fs  # width in bins (real)
+    b = boundary.astype(dt)
+
+    def levels(pos):
+        base = pos.astype(jnp.int32)
+        frac = pos - base.astype(dt)
+        base_c = jnp.clip(base, 0, seg.shape[0] - 2)
+        y0 = jnp.take(seg, base_c)
+        y1 = jnp.take(seg, base_c + 1)
+        return y0 + (y1 - y0) * frac
+
+    low = levels(i - u / 2.0 + b - 0.5)
+    high = levels(i + u / 2.0 + b - 0.5)
+    return (high - low) / width

@@ -1,0 +1,207 @@
+"""WORLD synthesis: pulse + noise excitation of minimum-phase filters,
+batched over pulses with a scatter-add overlap-add.
+
+Reference: /root/reference/src/synthesis.cpp.  The reference's OpenMP design —
+generate every pulse's impulse response into a [n_pulses, fft_size] slab, then
+overlap-add (:100-139) — *is* the batched formulation; here the slab is a
+tensor, the per-pulse FFT banks become two batched FFTs, and the serial OLA
+becomes one scatter-add.
+
+Data-dependent pulse count is padded to a static ``max_pulses`` bound with
+masked tail pulses (the reference bounds it the same way at :87-88).
+
+Pulse timing uses Q32 fixed-point phase accumulation (int32 cumsum with
+natural modular wrap) in the float32 production path — exact cycle counting
+with no precision loss over arbitrarily long signals — and float64
+accumulation + fmod (bit-matching the C++) in the x64 parity path.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+
+from worldtpu import constants as C
+from worldtpu.ops.fftutil import minimum_phase
+from worldtpu.ops.interp import interp1
+
+
+def dc_remover(fft_size, dtype=jnp.float64):
+    """Reference getDCRemover (/root/reference/src/synthesis.cpp:290-303):
+    half-length raised-cosine normalized so the full (mirrored) kernel sums
+    to 1. Returns the first half; the second half is its mirror."""
+    half = fft_size // 2
+    i = jnp.arange(half, dtype=dtype)
+    v = 0.5 - 0.5 * jnp.cos(2.0 * C.PI / (1.0 + fft_size) * (i + 1.0))
+    return v / (jnp.sum(v) * 2.0)
+
+
+def _time_base(f0, fs, frame_period_s, out_length, lowest_f0, max_pulses):
+    """interpolate f0/vuv to the sample grid and extract pulse locations.
+
+    Reference getTimeBase/getTemporalParameters/getPulseLocations
+    (/root/reference/src/synthesis.cpp:180-288).
+
+    Returns (pulse_index [P], pulse_time_shift [P], n_pulses,
+             vuv_at_pulse [P], valid [P]).
+    """
+    dt = f0.dtype
+    F = f0.shape[0]
+    T = out_length
+
+    coarse_f0 = jnp.where(f0 < lowest_f0, 0.0, f0)
+    coarse_vuv = jnp.where(coarse_f0 == 0.0, 0.0, 1.0)
+    # appended extrapolation knot (reference :240-242)
+    coarse_f0 = jnp.concatenate(
+        [coarse_f0, (coarse_f0[-1] * 2 - coarse_f0[-2])[None]])
+    coarse_vuv = jnp.concatenate(
+        [coarse_vuv, (coarse_vuv[-1] * 2 - coarse_vuv[-2])[None]])
+    coarse_t = jnp.arange(F + 1, dtype=dt) * frame_period_s
+
+    t = jnp.arange(T, dtype=dt) / fs
+    f0i = interp1(coarse_t, coarse_f0, t)
+    vuvi = interp1(coarse_t, coarse_vuv, t)
+    vuvi = jnp.where(vuvi > 0.5, 1.0, 0.0)
+    f0i = jnp.where(vuvi == 0.0, C.DEFAULT_F0, f0i)
+
+    if dt == jnp.float64:
+        # parity path: double accumulation + fmod, bit-matching the C++'s
+        # strictly sequential sum (tree-reassociated cumsum flips pulse
+        # boundaries when a wrap lands within rounding of pi)
+        def add(c, v):
+            s = c + v
+            return s, s
+        _, total = jax.lax.scan(add, jnp.asarray(0.0, dt),
+                                f0i * (2.0 * C.PI / fs))
+        wrap = jnp.mod(total, 2.0 * C.PI)
+        frac = wrap / (2.0 * C.PI)
+        carry = jnp.abs(wrap[1:] - wrap[:-1]) > C.PI
+    else:
+        # Q32 fixed point: f0/fs cycles per sample in 1/2^32 units
+        step = (f0i / fs * 4294967296.0 + 0.5).astype(jnp.uint32)
+        cum = jnp.cumsum(step.astype(jnp.int32))
+        fbits = jax.lax.bitcast_convert_type(cum, jnp.uint32)
+        frac = fbits.astype(dt) / 4294967296.0
+        carry = fbits[1:] < fbits[:-1]
+
+    idx = jnp.nonzero(carry, size=max_pulses, fill_value=T - 1)[0].astype(jnp.int32)
+    n_pulses = jnp.sum(carry).astype(jnp.int32)
+    valid = jnp.arange(max_pulses) < n_pulses
+
+    f_lo = jnp.take(frac, idx)
+    f_hi = jnp.take(frac, jnp.minimum(idx + 1, T - 1))
+    # x = -y1/(y2-y1) with y1 = wrap[i]-2pi, y2 = wrap[i+1]  (in cycles)
+    shift = (1.0 - f_lo) / (f_hi + 1.0 - f_lo) / fs
+    vuv_at = jnp.take(vuvi, idx)
+    return idx, shift, n_pulses, vuv_at, valid
+
+
+def synthesis_frames_impl(f0, spectrogram, aperiodicity, noise, *, fs,
+                          fft_size, frame_period_s, out_length, max_pulses):
+    """Synthesize a waveform from (f0, spectrogram, aperiodicity).
+
+    Args:
+        f0: [F] contour (0 = unvoiced).
+        spectrogram: [F, K] spectral envelope (power), K = fft_size//2+1.
+        aperiodicity: [F, K].
+        noise: [max_pulses, fft_size] i.i.d. standard normal draws; rows are
+            masked to each pulse's noise_size.  Pass the xorshift parity
+            stream for golden tests or jax.random normals for production
+            (see make_noise / parity_noise).
+        fs, fft_size, out_length, max_pulses: static.
+        frame_period_s: frame period in SECONDS.
+
+    Returns:
+        [out_length] waveform.
+    """
+    dt = spectrogram.dtype
+    f0 = f0.astype(dt)
+    K = fft_size // 2 + 1
+    half = fft_size // 2
+    lowest_f0 = fs / fft_size + 1.0
+
+    idx, shift, n_pulses, vuv_at, valid = _time_base(
+        f0, fs, frame_period_s, out_length, lowest_f0, max_pulses)
+
+    # noise_size[i] = idx[min(n-1, i+1)] - idx[i]  (reference :106)
+    nxt = jnp.minimum(jnp.arange(max_pulses) + 1, n_pulses - 1)
+    ns = jnp.take(idx, nxt) - idx
+    ns = jnp.where(valid, ns, 0)
+
+    # ---- per-pulse envelope / aperiodic ratio (reference :346-393) ----
+    F = f0.shape[0]
+    pt = idx.astype(dt) / fs / frame_period_s
+    fl = jnp.minimum(jnp.floor(pt).astype(jnp.int32), F - 1)
+    ce = jnp.minimum(jnp.ceil(pt).astype(jnp.int32), F - 1)
+    w = (pt - jnp.floor(pt))[:, None].astype(dt)
+    sp = jnp.abs(spectrogram)
+    spec = jnp.where(fl[:, None] == ce[:, None], sp[fl],
+                     (1.0 - w) * sp[fl] + w * sp[ce])
+    apc = jnp.clip(aperiodicity, 0.001, 0.999999999999)
+    ap = jnp.where(fl[:, None] == ce[:, None], apc[fl],
+                   (1.0 - w) * apc[fl] + w * apc[ce]) ** 2
+
+    # ---- periodic response (reference :403-474) ----
+    per_on = (vuv_at > 0.5) & (ap[:, 0] <= 0.999)
+    log_per = jnp.log(spec * (1.0 - ap) + C.MY_SAFE_GUARD_MINIMUM) / 2.0
+    mp_per = minimum_phase(log_per)
+    k = jnp.arange(K, dtype=dt)
+    coeff = (2.0 * C.PI * fs / fft_size) * shift
+    re2 = jnp.cos(coeff[:, None] * k[None, :])
+    im2 = jnp.sqrt(1.0 - re2 * re2)  # |sin|: the reference's :452 quirk
+    phase = (re2 - 1j * im2).astype(mp_per.dtype)
+    per = jnp.fft.irfft(mp_per * phase, n=fft_size, axis=-1) * fft_size
+    per = jnp.roll(per, half, axis=-1)  # fftshift
+    dc = jnp.sum(per[:, half:], axis=-1, keepdims=True)
+    dcr = dc_remover(fft_size, dt)[None, :]
+    per = jnp.concatenate(
+        [-dc * dcr, per[:, half:] - dc * dcr], axis=-1)
+    per = jnp.where(per_on[:, None], per, 0.0)
+
+    # ---- aperiodic response (reference :479-530) ----
+    j = jnp.arange(fft_size)
+    nmask = j[None, :] < ns[:, None]
+    nz = noise.astype(dt) * nmask
+    nmean = jnp.sum(nz, -1, keepdims=True) / jnp.maximum(ns, 1)[:, None]
+    nz = jnp.where(nmask, nz - nmean, 0.0)
+    nspec = jnp.fft.rfft(nz, axis=-1)
+    log_ap = jnp.where((vuv_at != 0.0)[:, None],
+                       jnp.log(spec * ap) / 2.0,
+                       jnp.log(spec) / 2.0)
+    mp_ap = minimum_phase(log_ap)
+    aper = jnp.fft.irfft(mp_ap * nspec, n=fft_size, axis=-1) * fft_size
+    aper = jnp.roll(aper, half, axis=-1)
+
+    # ---- combine + overlap-add (reference :339-343, :118-139) ----
+    resp = (per * jnp.sqrt(ns.astype(dt))[:, None] + aper) / fft_size
+    resp = jnp.where(valid[:, None], resp, 0.0)
+
+    target = (idx - half + 1)[:, None] + j[None, :]
+    ok = (target >= 0) & (target < out_length) & valid[:, None]
+    flat_t = jnp.where(ok, target, out_length).reshape(-1)
+    flat_v = jnp.where(ok, resp, 0.0).reshape(-1)
+    out = jnp.zeros(out_length + 1, dtype=dt).at[flat_t].add(flat_v)
+    return out[:out_length]
+
+
+#: Jitted entry point.  Note: XLA op fusion can flip 1-ulp knife edges at
+#: V/UV transition samples (where the interpolated vuv lands exactly on 0.5),
+#: moving a pulse by one sample vs the sequential C++; use
+#: synthesis_frames_impl un-jitted for bitwise golden parity.
+synthesis_frames = functools.partial(jax.jit, static_argnames=(
+    "fs", "fft_size", "out_length", "max_pulses"))(synthesis_frames_impl)
+
+
+def make_noise(key, max_pulses, fft_size, dtype=jnp.float32):
+    """Production noise input for synthesis_frames."""
+    return jax.random.normal(key, (max_pulses, fft_size), dtype=dtype)
+
+
+def default_max_pulses(out_length, fs, f0_ceil=C.CEIL_F0):
+    """Static pulse-count bound: the reference's out_length/(fs/max_f0)
+    (:87-88) with max_f0 bounded by the Harvest ceiling (and the unvoiced
+    default 500 Hz)."""
+    max_f0 = max(float(f0_ceil), C.DEFAULT_F0)
+    return int(out_length / int(fs / max_f0)) + 2

@@ -1,0 +1,190 @@
+"""D4C band-aperiodicity estimation, batched over frames and bands.
+
+Reference: /root/reference/src/d4c.cpp.  The reference's two OpenMP frame
+loops (LoveTrain VUV :188-206 and the group-delay main loop :143-169) become
+batched tensor programs: one [F, fft_lt] FFT for LoveTrain, four [F, fft_d4c]
+FFTs for the static centroid + smoothed power spectrum, and one
+[F, n_bands, fft_d4c] FFT for the coarse aperiodicity — the per-band
+``std::sort`` (:494) becomes a batched jnp.sort.
+
+Frames that are unvoiced or fail the LoveTrain threshold keep the
+1 - 1e-12 default aperiodicity (reference :126-132,147).
+"""
+
+from __future__ import annotations
+
+import functools
+import math
+
+import jax
+import jax.numpy as jnp
+
+from worldtpu import constants as C
+from worldtpu.ops import filters
+from worldtpu.ops.interp import interp1
+
+
+def _matlab_round(x):
+    return jnp.where(x > 0, jnp.floor(x + 0.5), jnp.ceil(x - 0.5)).astype(jnp.int32)
+
+
+def d4c_fft_size(fs: int) -> int:
+    """Reference prepareForD4c (/root/reference/src/d4c.cpp:63-64)."""
+    return int(2 ** (1 + int(
+        math.log(4.0 * fs / C.FLOOR_F0_D4C + 1) / math.log(2.0))))
+
+
+def love_train_fft_size(fs: int) -> int:
+    """Reference prepareForD4c (:103)."""
+    return int(2 ** (1 + int(math.log(3.0 * fs / 40.0 + 1) / math.log(2.0))))
+
+
+def number_of_aperiodicities(fs: int) -> int:
+    """Reference (:65-67) == codec GetNumberOfAperiodicities."""
+    return int(min(C.UPPER_LIMIT, fs / 2.0 - C.FREQUENCY_INTERVAL)
+               / C.FREQUENCY_INTERVAL)
+
+
+def _windowed_waveform(x, f0, position, fs, window_type, ratio, max_half,
+                       dtype):
+    """D4C::getWindowedWaveform (:246-303), left-aligned and padded to
+    2*max_half+1 columns.  Returns [F, W] masked windowed waveform."""
+    half = _matlab_round(ratio * fs / f0 / 2.0)            # [F]
+    W = 2 * max_half + 1
+    j = jnp.arange(W, dtype=jnp.int32)
+    base = j - half[:, None]                                # base_index, masked
+    in_win = j[None, :] <= 2 * half[:, None]
+    origin = _matlab_round(position * fs + 0.001)
+    safe = jnp.clip(origin[:, None] + base, 0, x.shape[0] - 1)
+    seg = x[safe]
+
+    pos = (2.0 / ratio / fs) * base.astype(dtype)
+    pf = C.PI * f0[:, None] * pos
+    if window_type == C.HANNING:
+        win = 0.5 * jnp.cos(pf) + 0.5
+    else:  # Blackman
+        win = 0.42 + 0.5 * jnp.cos(pf) + 0.08 * jnp.cos(2.0 * pf)
+    win = jnp.where(in_win, win, 0.0)
+
+    wave = jnp.where(in_win, seg * win, 0.0)
+    weight = (jnp.sum(wave, -1, keepdims=True)
+              / jnp.sum(win, -1, keepdims=True))
+    return jnp.where(in_win, wave - win * weight, 0.0)
+
+
+@functools.partial(jax.jit, static_argnames=("fs", "fft_size_out"))
+def d4c_frames(x, f0, temporal_positions, *, fs, fft_size_out, threshold=0.85,
+               f0_ceil_bound=C.CEIL_F0):
+    """Band aperiodicity for all frames at once.
+
+    Args:
+        x: [T] waveform.
+        f0: [F] contour (0 = unvoiced).
+        temporal_positions: [F] frame times (s).
+        fs: static sample rate.
+        fft_size_out: static output bin geometry (the CheapTrick fft size).
+        threshold: LoveTrain VUV threshold (reference option, default 0.85).
+        f0_ceil_bound: static bound on the largest f0 value, used to size the
+            linear-smoothing pad.
+
+    Returns:
+        [F, fft_size_out//2 + 1] aperiodicity in (0, 1].
+    """
+    dt = x.dtype
+    f0 = f0.astype(dt)
+    pos = temporal_positions.astype(dt)
+    fft_d4c = d4c_fft_size(fs)
+    fft_lt = love_train_fft_size(fs)
+    n_ap = number_of_aperiodicities(fs)
+    Kd = fft_d4c // 2 + 1
+    Ko = fft_size_out // 2 + 1
+
+    # ---- LoveTrain (reference :181-240) ----
+    f0lt = jnp.maximum(f0, 40.0)
+    max_half_lt = int(1.5 * fs / 40.0 + 0.5)
+    wave_lt = _windowed_waveform(x, f0lt, pos, fs, C.BLACKMAN, 3.0,
+                                 max_half_lt, dt)
+    spec_lt = jnp.fft.rfft(wave_lt, n=fft_lt, axis=-1)
+    ps_lt = (spec_lt.real ** 2 + spec_lt.imag ** 2).astype(dt)
+    b0 = int(math.ceil(100.0 * fft_lt / fs))
+    b1 = int(math.ceil(4000.0 * fft_lt / fs))
+    b2 = int(math.ceil(7900.0 * fft_lt / fs))
+    bins = jnp.arange(ps_lt.shape[-1])
+    ps_lt = jnp.where(bins[None, :] <= b0, 0.0, ps_lt)
+    cum = jnp.cumsum(ps_lt, axis=-1)
+    ap0 = jnp.where(f0 == 0.0, 0.0, cum[:, b1] / cum[:, b2])
+
+    active = (f0 != 0.0) & (ap0 > threshold)
+    f0d = jnp.maximum(C.FLOOR_F0_D4C, f0)
+
+    # ---- static centroid (reference :339-405) ----
+    max_half_c = int(2.0 * fs / C.FLOOR_F0_D4C + 0.5)
+    ramp_w = 2 * max_half_c + 1
+
+    def centroid(at):
+        w = _windowed_waveform(x, f0d, at, fs, C.BLACKMAN, 4.0, max_half_c, dt)
+        power = jnp.sqrt(jnp.sum(w * w, -1, keepdims=True))
+        w = w / power
+        s1 = jnp.fft.rfft(w, n=fft_d4c, axis=-1)
+        ramp = jnp.arange(1, ramp_w + 1, dtype=dt)
+        s2 = jnp.fft.rfft(w * ramp[None, :], n=fft_d4c, axis=-1)
+        return (s1.real * s2.real + s1.imag * s2.imag).astype(dt)
+
+    static_centroid = (centroid(pos - 0.25 / f0d)
+                       + centroid(pos + 0.25 / f0d))
+    static_centroid = jax.vmap(
+        lambda p, f: filters.dc_correction(p, f, fs, fft_d4c))(
+            static_centroid, f0d)
+
+    # ---- smoothed power spectrum (reference :411-434) ----
+    wave_h = _windowed_waveform(x, f0d, pos, fs, C.HANNING, 4.0,
+                                max_half_c, dt)
+    spec_h = jnp.fft.rfft(wave_h, n=fft_d4c, axis=-1)
+    sps = (spec_h.real ** 2 + spec_h.imag ** 2).astype(dt)
+    sps = jax.vmap(
+        lambda p, f: filters.dc_correction(p, f, fs, fft_d4c))(sps, f0d)
+    max_b = int(1.2 * f0_ceil_bound * fft_d4c / fs) + 2
+    sps = jax.vmap(
+        lambda p, w_: filters.linear_smoothing(p, w_, fs, fft_d4c, max_b))(
+            sps, f0d)
+
+    # ---- static group delay (reference :440-460) ----
+    sgd = static_centroid / sps
+    sgd = jax.vmap(
+        lambda p, w_: filters.linear_smoothing(p, w_, fs, fft_d4c, max_b))(
+            sgd, f0d / 2.0)
+    sgd_smooth = jax.vmap(
+        lambda p, w_: filters.linear_smoothing(p, w_, fs, fft_d4c, max_b))(
+            sgd, f0d)
+    sgd = sgd - sgd_smooth
+
+    # ---- coarse aperiodicity per 3 kHz band (reference :466-503) ----
+    window_length = int(C.FREQUENCY_INTERVAL * fft_d4c / fs) * 2 + 1
+    half_w = window_length // 2
+    nuttall = filters.nuttall_window(window_length, dt)
+    boundary = int(fft_d4c * 8.0 / window_length + 0.5)  # matlab_round, >0
+    centers = (C.FREQUENCY_INTERVAL * jnp.arange(1, n_ap + 1)
+               * fft_d4c / fs).astype(jnp.int32)              # [B]
+    jj = jnp.arange(window_length)
+    gather = centers[:, None] - half_w + jj[None, :]          # [B, Wl]
+    seg = sgd[:, gather] * nuttall[None, None, :]             # [F, B, Wl]
+    spec_b = jnp.fft.rfft(seg, n=fft_d4c, axis=-1)            # [F,B,Kd]
+    ps_b = (spec_b.real ** 2 + spec_b.imag ** 2).astype(dt)
+    ps_sorted = jnp.sort(ps_b, axis=-1)
+    cum_b = jnp.cumsum(ps_sorted, axis=-1)
+    ca = 10.0 * jnp.log10(cum_b[..., Kd - boundary - 2] / cum_b[..., Kd - 1])
+    ca = jnp.minimum(0.0, ca + (f0d[:, None] - 100.0) / 50.0)  # [F,B]
+
+    # ---- coarse -> full-resolution bins (reference :160-168) ----
+    coarse_axis = jnp.concatenate([
+        C.FREQUENCY_INTERVAL * jnp.arange(n_ap + 1, dtype=dt),
+        jnp.asarray([fs / 2.0], dt)])
+    lo = jnp.full((ca.shape[0], 1), -60.0, dt)
+    hi = jnp.full((ca.shape[0], 1), -C.MY_SAFE_GUARD_MINIMUM, dt)
+    coarse_vals = jnp.concatenate([lo, ca, hi], axis=-1)      # [F,B+2]
+    freq = jnp.arange(Ko, dtype=dt) * fs / fft_size_out
+    ap_db = jax.vmap(lambda v: interp1(coarse_axis, v, freq))(coarse_vals)
+    ap_full = 10.0 ** (ap_db / 20.0)
+
+    default = 1.0 - C.MY_SAFE_GUARD_MINIMUM
+    return jnp.where(active[:, None], ap_full, default)

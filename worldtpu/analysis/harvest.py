@@ -1,0 +1,461 @@
+"""Harvest F0 estimation, batched over bands / frames / candidates.
+
+Reference: /root/reference/src/harvest.cpp (1455 LoC).  Stage mapping:
+
+  C++ (OpenMP loops)                      ->  worldtpu (batched tensors)
+  ---------------------------------------------------------------------
+  getWaveformAndSpectrum (:213-248)       ->  decimate (assoc-scan IIR) + rfft
+  getRawF0Candidates over ~185 bands      ->  one [bands, fft] complex
+    (:1310-1346)                              multiply + batched irfft;
+                                              zero-crossing extraction and
+                                              interval interpolation fully
+                                              vectorized per band
+  detectOfficialF0Candidates (:1052-1083) ->  per-frame run detection via
+                                              cumsum/scatter over the band axis
+  overlapF0Candidates (:987-1000)         ->  frame-shifted candidate layers
+  refineF0Candidates over frames x cands  ->  all (frame, candidate) pairs as
+    (:932-982)                                one padded batch; each pair's
+                                              power-of-two FFT is evaluated
+                                              exactly as a stride of ONE
+                                              batched rfft at the maximum size
+                                              (zero-padding a signal to 2^m
+                                              and striding bins reproduces the
+                                              smaller FFT bit-for-bit in exact
+                                              arithmetic)
+  removeUnreliableCandidates (:708-744)   ->  [F, S, S] neighbor error min
+  fixF0Contour / smoothF0Contour          ->  host numpy (contour.py), O(F)
+
+The candidate slot layout is a FIXED stride Cb = n_channels // 10 with zero
+padding (the reference packs at the dynamic detected count; zero slots are
+no-ops in every downstream consumer, verified against per-stage C++ dumps).
+"""
+
+from __future__ import annotations
+
+import functools
+import math
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from worldtpu import constants as C
+from worldtpu.analysis import contour
+from worldtpu.ops import filters
+from worldtpu.ops.fftutil import get_suitable_fft_size
+from worldtpu.ops.interp import interp1
+
+
+def _matlab_round_py(x):
+    return int(x + 0.5) if x > 0 else int(x - 0.5)
+
+
+def _matlab_round(x):
+    return jnp.where(x > 0, jnp.floor(x + 0.5), jnp.ceil(x - 0.5)).astype(jnp.int32)
+
+
+class HarvestGeometry:
+    """Static geometry shared by all stages (the reference ctor's
+    preallocation math, /root/reference/src/harvest.cpp:69-141)."""
+
+    def __init__(self, fs, x_length, f0_floor=C.FLOOR_F0, f0_ceil=C.CEIL_F0,
+                 frame_period=5.0, target_fs=8000.0, channels_in_octave=40.0):
+        self.fs = fs
+        self.x_length = x_length
+        self.f0_floor = f0_floor
+        self.f0_ceil = f0_ceil
+        self.frame_period = frame_period
+        self.channels_in_octave = channels_in_octave
+
+        self.ratio = max(1, min(12, _matlab_round_py(fs / target_fs)))
+        self.actual_fs = fs / self.ratio
+
+        adj_floor = f0_floor * 0.9
+        adj_ceil = f0_ceil * 1.1
+        self.n_channels = 1 + int(
+            math.log(adj_ceil / adj_floor) / C.LOG2 * channels_in_octave)
+        self.boundary_f0 = adj_floor * 2.0 ** (
+            (np.arange(self.n_channels) + 1) / channels_in_octave)
+
+        self.y_length = 1 + int(x_length / self.ratio)
+        self.fft_size = get_suitable_fft_size(
+            self.y_length
+            + 4 * int(1.0 + self.actual_fs / self.boundary_f0[0] / 2.0))
+
+        self.f0_length = 1 + int(1000.0 * x_length / fs)  # 1 ms internal grid
+        self.cb = int(self.n_channels / 10)               # base candidate slots
+        self.max_candidates = self.cb * 7
+
+        # band filter worst case: round(actual_fs / boundary_f0[0] * 2)
+        self.max_filter_half = _matlab_round_py(
+            self.actual_fs / self.boundary_f0[0] * 2.0)
+        # refine worst case window (harvest.cpp:85-87)
+        self.max_half_window = int(1.5 * self.actual_fs / f0_floor + 1.0)
+        self.max_fft_index = 2 + int(
+            math.log(self.max_half_window * 2 + 1.0) / C.LOG2)
+        self.refine_fft = 2 ** self.max_fft_index
+        # static event-count cap per (band, type): a band passed through a
+        # ~[0.5b, 1.5b] bandpass crosses zero ~b times/s per type; 3x margin
+        dur = x_length / fs
+        self.e_max = int(min(self.y_length // 2 + 2,
+                             dur * adj_ceil * 3.0 + 64))
+
+
+# ---------------------------------------------------------------------------
+# stage A: decimation
+# ---------------------------------------------------------------------------
+
+@functools.partial(jax.jit, static_argnames=("ratio", "y_length"))
+def decimate_stage(x, *, ratio, y_length):
+    """Downsample to ~8 kHz (reference getWaveformAndSpectrum :213-236).
+
+    Returns y WITHOUT mean removal (the caller subtracts the reference's
+    int-truncated mean, which is exactly 0 for |y| < 1 signals)."""
+    if ratio == 1:
+        # reference copies x then zero-fills to y_length = x_length+1 (:217-219)
+        return jnp.concatenate(
+            [x, jnp.zeros((y_length - x.shape[0],), x.dtype)])
+    lag = int(math.ceil(140.0 / ratio)) * ratio
+    head = jnp.full((lag,), x[0], x.dtype)
+    tail = jnp.full((lag,), x[-1], x.dtype)
+    xx = jnp.concatenate([head, x, tail])
+    yy = filters.decimate(xx, ratio)
+    return jax.lax.dynamic_slice(yy, (lag // ratio,), (y_length,))
+
+
+# ---------------------------------------------------------------------------
+# stage B: band candidates
+# ---------------------------------------------------------------------------
+
+def _zero_crossings(sig, n_eff, e_max, fs_a, tpos):
+    """Events + interval interpolation for one signal (one band, one of the
+    four crossing types).  Reference zeroCrossingEngine (:1179-1219) +
+    interp1-to-frames (:1113-1126).
+
+    Args:
+        sig: [L] signal (already negated/diffed per type).
+        n_eff: effective length (y_length or y_length-1).
+        tpos: [F] frame times.
+
+    Returns:
+        (interp [F], n_events) — interp is garbage when n_events < 4
+        (the caller gates).
+    """
+    L = sig.shape[0]
+    i = jnp.arange(L - 1)
+    mask = (sig[:-1] > 0.0) & (sig[1:] <= 0.0) & (i < n_eff - 1)
+    rank = jnp.cumsum(mask) - 1
+    count = jnp.sum(mask)
+
+    e = i + 1
+    fine = e.astype(sig.dtype) - sig[:-1] / (sig[1:] - sig[:-1])
+    dense = jnp.full((e_max + 1,), jnp.inf, sig.dtype)
+    slot = jnp.where(mask, jnp.minimum(rank, e_max - 1), e_max)
+    dense = dense.at[slot].set(fine)
+
+    f_lo = dense[:-1]
+    f_hi = dense[1:]
+    locations = (f_lo + f_hi) / 2.0 / fs_a
+    intervals = fs_a / (f_hi - f_lo)
+    k = jnp.arange(e_max)
+    n_int = count - 1
+    locations = jnp.where(k < n_int, locations, jnp.inf)
+
+    vals = interp1(locations, intervals, tpos, n_valid=n_int)
+    return vals, count
+
+
+def _band_candidates(y_spectrum, boundary_f0, filter_half, geo, tpos):
+    """Candidate contour for ONE band (vmapped).  Reference
+    getFilteredSignal (:1261-1305) + getFourZeroCrossingIntervals +
+    getF0CandidateContour (:1098-1143)."""
+    fft_size = geo.fft_size
+    fs_a = geo.actual_fs
+    dt = jnp.float64 if y_spectrum.dtype == jnp.complex128 else jnp.float32
+
+    # Nuttall * cos bandpass, length 2*half+1, padded to fft_size
+    Lmax = geo.max_filter_half
+    j = jnp.arange(2 * Lmax + 1)
+    in_f = j <= 2 * filter_half
+    win = filters.nuttall_window_ragged(
+        2 * filter_half + 1, 2 * Lmax + 1, dt)
+    t = (j - filter_half).astype(dt) / fs_a
+    bpf = jnp.where(in_f, win * jnp.cos(2.0 * C.PI * boundary_f0 * t), 0.0)
+    H = jnp.fft.rfft(bpf, n=fft_size)
+    filtered = jnp.fft.irfft(y_spectrum * H, n=fft_size) * fft_size
+    shift = filter_half + 1
+    filtered = jnp.roll(filtered, -shift)
+
+    y_len = geo.y_length
+    f = filtered[:y_len]
+    g = f[1:] - f[:-1]  # diff for peaks/dips (length y_len-1)
+    g = jnp.concatenate([g, jnp.zeros((1,), dt)])
+
+    c0, n0 = _zero_crossings(f, y_len, geo.e_max, fs_a, tpos)
+    c1, n1 = _zero_crossings(-f, y_len, geo.e_max, fs_a, tpos)
+    c2, n2 = _zero_crossings(g, y_len - 1, geo.e_max, fs_a, tpos)
+    c3, n3 = _zero_crossings(-g, y_len - 1, geo.e_max, fs_a, tpos)
+
+    usable = ((n0 - 1 > 2) & (n1 - 1 > 2) & (n2 - 1 > 2) & (n3 - 1 > 2))
+    cand = (c0 + c1 + c2 + c3) / 4.0
+    upper = boundary_f0 * 1.1
+    lower = boundary_f0 * 0.9
+    ok = (cand <= upper) & (cand >= lower) \
+        & (cand <= geo.f0_ceil) & (cand >= geo.f0_floor)
+    return jnp.where(usable & ok, cand, 0.0)
+
+
+def _detect_candidates(raw, geo):
+    """Per-frame voiced-run averaging across bands.
+    Reference detectOfficialF0Candidates (:1052-1083).
+
+    Args:
+        raw: [Nb, F] raw band candidates.
+
+    Returns:
+        [F, Cb] base candidates (zero-padded fixed layout).
+    """
+    Nb, F = raw.shape
+    r = raw.T  # [F, Nb]
+    v = r > 0.0
+    v = v.at[:, 0].set(False).at[:, -1].set(False)
+
+    st = jnp.concatenate(
+        [jnp.zeros((F, 1), bool), v[:, 1:] & ~v[:, :-1]], axis=1)
+    ed = jnp.concatenate(
+        [jnp.zeros((F, 1), bool), ~v[:, 1:] & v[:, :-1]], axis=1)
+
+    smax = Nb // 2 + 2
+    sid = jnp.cumsum(st, axis=1) - 1                       # [F, Nb]
+    frame_ix = jnp.arange(F)[:, None]
+
+    vsid = jnp.where(v, sid, smax)
+    sums = jnp.zeros((F, smax + 1), raw.dtype).at[
+        frame_ix, vsid].add(jnp.where(v, r, 0.0))
+    lens = jnp.zeros((F, smax + 1), jnp.int32).at[
+        frame_ix, vsid].add(v.astype(jnp.int32))
+
+    # NOTE: the C sums j in [st, ed) which equals the voiced run [st, ed-1]
+    # (ed is the first unvoiced band), and ed-st == run length.
+    valid = lens[:, :smax] >= 10
+    means = sums[:, :smax] / jnp.maximum(lens[:, :smax], 1)
+
+    rank = jnp.cumsum(valid, axis=1) - 1
+    slot = jnp.where(valid & (rank < geo.cb), rank, geo.cb)
+    out = jnp.zeros((F, geo.cb + 1), raw.dtype).at[
+        frame_ix, slot].add(jnp.where(valid, means, 0.0))
+    return out[:, :geo.cb]
+
+
+def _overlap_candidates(base):
+    """Spread candidates +-3 frames (reference :987-1000).
+
+    Args:  base [F, Cb].  Returns [F, 7*Cb]."""
+    F, cb = base.shape
+    layers = [base]
+    for i in (1, 2, 3):
+        past = jnp.roll(base, i, axis=0).at[:i].set(0.0)
+        layers.append(past)
+    for i in (1, 2, 3):
+        fut = jnp.roll(base, -i, axis=0).at[F - i:].set(0.0)
+        layers.append(fut)
+    return jnp.stack(layers, axis=1).reshape(F, 7 * cb)
+
+
+@functools.partial(jax.jit, static_argnames=("geo",))
+def candidates_stage(y, mean_y, tpos, *, geo):
+    """Stages B+C: decimated signal -> overlapped candidates [F, S]."""
+    dt = y.dtype
+    y0 = jnp.concatenate([
+        y - mean_y, jnp.zeros((geo.fft_size - geo.y_length,), dt)])
+    y_spectrum = jnp.fft.rfft(y0)
+
+    bounds = jnp.asarray(geo.boundary_f0, dt)
+    halves = jnp.asarray(
+        [_matlab_round_py(geo.actual_fs / b * 2.0) for b in geo.boundary_f0],
+        jnp.int32)
+    raw = jax.lax.map(
+        lambda args: _band_candidates(y_spectrum, args[0], args[1], geo, tpos),
+        (bounds, halves),
+        batch_size=16)
+    base = _detect_candidates(raw, geo)
+    return _overlap_candidates(base), raw, base
+
+
+# ---------------------------------------------------------------------------
+# stage D: instantaneous-frequency refinement
+# ---------------------------------------------------------------------------
+
+def _refine_chunk(y, cand, pos, geo):
+    """Refine one chunk of frames; cand [Fc, S], pos [Fc].
+    Reference refineF0Candidates/getMeanF0/fixF0 (:844-982)."""
+    dt = y.dtype
+    Fc, S = cand.shape
+    P = Fc * S
+    f0 = cand.reshape(P)
+    pp = jnp.broadcast_to(pos[:, None], (Fc, S)).reshape(P)
+    active = f0 > 0.0
+    f0s = jnp.where(active, f0, 100.0)  # dummy to keep math finite
+
+    fs_a = geo.actual_fs
+    hw = (1.5 * fs_a / f0s + 1.0).astype(jnp.int32)
+    w_len = 2 * hw + 1
+    fft_index = 2 + (jnp.log(w_len.astype(dt)) / C.LOG2).astype(jnp.int32)
+    fft_p = jnp.left_shift(1, fft_index)
+    ratio = geo.refine_fft // fft_p                    # global-bin stride
+
+    Wmax = 2 * geo.max_half_window + 1
+    j = jnp.arange(Wmax)
+    in_w = j[None, :] < w_len[:, None]
+    base_time0 = -hw.astype(dt) / fs_a
+    basic_index = _matlab_round((pp + base_time0) * fs_a + 0.001)
+    base_index = basic_index[:, None] + j[None, :]
+
+    wlt = w_len.astype(dt) / fs_a
+    tmp = (base_index.astype(dt) - 1.0) / fs_a - pp[:, None]
+    t2 = 2.0 * C.PI * tmp / wlt[:, None]
+    mw = 0.42 + 0.5 * jnp.cos(t2) + 0.08 * jnp.cos(2.0 * t2)
+    mw = jnp.where(in_w, mw, 0.0)
+
+    # diff window (reference getDiffWindow :794-803)
+    mw_m1 = jnp.concatenate([jnp.zeros((P, 1), dt), mw[:, :-1]], axis=1)
+    mw_p1 = jnp.concatenate([mw[:, 1:], jnp.zeros((P, 1), dt)], axis=1)
+    dw = -(mw_p1 - mw_m1) / 2.0
+    # edges: dw[0] = -mw[1]/2 (generic formula gives that since mw_m1[0]=0);
+    # dw[W-1] = mw[W-2]/2 likewise. Mask outside the window:
+    dw = jnp.where(in_w, dw, 0.0)
+
+    safe = jnp.clip(base_index - 1, 0, geo.y_length - 1)
+    seg = y[safe]
+    main = seg * mw
+    diff = seg * dw
+
+    Sm = jnp.fft.rfft(main, n=geo.refine_fft, axis=-1)
+    Sd = jnp.fft.rfft(diff, n=geo.refine_fft, axis=-1)
+
+    n_harm = jnp.minimum((fs_a / 2.0 / f0s).astype(jnp.int32), 6)
+    h = jnp.arange(6)
+    idx_h = _matlab_round(
+        f0s[:, None] * fft_p[:, None].astype(dt) / fs_a
+        * (h[None, :] + 1.0))                          # [P, 6]
+    gbin = jnp.clip(idx_h * ratio[:, None], 0, geo.refine_fft // 2)
+    pr = jnp.arange(P)[:, None]
+    Smh = Sm[pr, gbin]
+    Sdh = Sd[pr, gbin]
+    power = (Smh.real ** 2 + Smh.imag ** 2).astype(dt)
+    num_i = (Smh.real * Sdh.imag - Smh.imag * Sdh.real).astype(dt)
+
+    base_freq = idx_h.astype(dt) * fs_a / fft_p[:, None].astype(dt)
+    instf = jnp.where(power == 0.0, 0.0,
+                      base_freq + num_i / power * fs_a / (2.0 * C.PI))
+    amp = jnp.sqrt(power)
+    hmask = (h[None, :] < n_harm[:, None]).astype(dt)
+
+    numer = jnp.sum(amp * instf * hmask, axis=1)
+    denom = jnp.sum(amp * (h[None, :] + 1.0) * hmask, axis=1)
+    refined = numer / (denom + C.MY_SAFE_GUARD_MINIMUM)
+    dev = jnp.sum(jnp.abs(instf / (h[None, :] + 1.0) - f0s[:, None])
+                  / f0s[:, None] * hmask, axis=1)
+    score = 1.0 / (dev / jnp.maximum(n_harm, 1)
+                   + C.MY_SAFE_GUARD_MINIMUM)
+
+    bad = ((refined < geo.f0_floor) | (refined > geo.f0_ceil)
+           | (score < 2.5) | ~active)
+    refined = jnp.where(bad, 0.0, refined)
+    score = jnp.where(bad, 0.0, score)
+    return refined.reshape(Fc, S), score.reshape(Fc, S)
+
+
+@functools.partial(jax.jit, static_argnames=("geo", "chunk"))
+def refine_stage(y, cand, tpos, *, geo, chunk=16):
+    """Stage D over all frames in memory-bounded chunks."""
+    F, S = cand.shape
+    pad = (-F) % chunk
+    cand_p = jnp.pad(cand, ((0, pad), (0, 0)))
+    tpos_p = jnp.pad(tpos, (0, pad))
+    cc = cand_p.reshape(-1, chunk, S)
+    tt = tpos_p.reshape(-1, chunk)
+    ref, sc = jax.lax.map(
+        lambda args: _refine_chunk(y, args[0], args[1], geo), (cc, tt))
+    ref = ref.reshape(-1, S)[:F]
+    sc = sc.reshape(-1, S)[:F]
+    return ref, sc
+
+
+# ---------------------------------------------------------------------------
+# stage E: neighbor-consistency pruning
+# ---------------------------------------------------------------------------
+
+@functools.partial(jax.jit, static_argnames=())
+def remove_unreliable_stage(cand, score):
+    """Reference removeUnreliableCandidates (:708-744): drop candidates with
+    no close neighbor-frame candidate (relative error > 0.05).  The edge rows
+    the C++ compares against are uninitialized-but-in-practice-zero heap;
+    zeros give relative error 1.0, replicated here with explicit zero rows."""
+    F, S = cand.shape
+    z = jnp.zeros((1, S), cand.dtype)
+    prev = jnp.concatenate([z, cand[:-1]], axis=0)   # tmp[i-1]; tmp[0] = 0
+    nxt = jnp.concatenate([cand[1:], z], axis=0)     # tmp[i+1]; tmp[F-1] = 0
+
+    def min_err(ref, others):
+        # selectBestF0 with allowed_range=1.0: min(1.0, min_k |ref-c_k|/ref)
+        e = jnp.abs(ref[:, :, None] - others[:, None, :]) / ref[:, :, None]
+        return jnp.minimum(1.0, jnp.min(e, axis=-1))
+
+    e1 = min_err(jnp.where(cand > 0, cand, 1.0), nxt)
+    e2 = min_err(jnp.where(cand > 0, cand, 1.0), prev)
+    drop = (jnp.minimum(e1, e2) > 0.05) & (cand > 0)
+    interior = (jnp.arange(F) >= 1) & (jnp.arange(F) <= F - 2)
+    drop = drop & interior[:, None]
+    return (jnp.where(drop, 0.0, cand), jnp.where(drop, 0.0, score))
+
+
+# ---------------------------------------------------------------------------
+# orchestration
+# ---------------------------------------------------------------------------
+
+class HarvestKernel:
+    """End-to-end Harvest for one (fs, x_length) geometry.
+
+    Mirrors the reference facade: ctor computes all static geometry, compute()
+    runs decimation -> candidates -> refinement -> pruning on device and the
+    contour fixing (contour.py) on host, then subsamples the internal 1 ms
+    grid to the requested frame_period (reference compute :183-208)."""
+
+    def __init__(self, fs, x_length, f0_floor=C.FLOOR_F0, f0_ceil=C.CEIL_F0,
+                 frame_period=5.0, target_fs=8000.0, channels_in_octave=40.0):
+        self.geo = HarvestGeometry(
+            fs, x_length, f0_floor=f0_floor, f0_ceil=f0_ceil,
+            frame_period=frame_period, target_fs=target_fs,
+            channels_in_octave=channels_in_octave)
+
+    def get_samples(self):
+        g = self.geo
+        return 1 + int(1000.0 * g.x_length / g.fs / g.frame_period)
+
+    def compute(self, x, dtype=jnp.float64):
+        from worldtpu.native import int_trunc_sum
+        g = self.geo
+        x = jnp.asarray(x, dtype)
+        y = decimate_stage(x, ratio=g.ratio, y_length=g.y_length)
+        y_host = np.asarray(y)
+        mean_y = int_trunc_sum(y_host) / g.y_length
+        tpos1 = jnp.arange(g.f0_length, dtype=dtype) / 1000.0
+
+        cand, raw, base = candidates_stage(y, mean_y, tpos1, geo=g)
+        y_pad = jnp.concatenate(
+            [y - mean_y, jnp.zeros((g.fft_size - g.y_length,), dtype)])
+        cand, score = refine_stage(y_pad, cand, tpos1, geo=g)
+        cand, score = remove_unreliable_stage(cand, score)
+
+        cand_h = np.asarray(cand)
+        score_h = np.asarray(score)
+        best = contour.fix_f0_contour(cand_h, score_h)
+        f0_1ms = contour.smooth_f0_contour(best)
+
+        n_out = self.get_samples()
+        tpos = np.arange(n_out) * g.frame_period / 1000.0
+        pick = np.minimum(g.f0_length - 1,
+                          np.array([_matlab_round_py(t * 1000.0)
+                                    for t in tpos]))
+        return f0_1ms[pick], tpos

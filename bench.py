@@ -1,0 +1,109 @@
+#!/usr/bin/env python
+"""Benchmark: batched analysis+resynthesis real-time factor per TPU chip.
+
+Measures the full WORLD pipeline — Harvest F0 + CheapTrick envelope + D4C
+aperiodicity + synthesis — on a batch of LJSpeech-like synthetic utterances
+(22.05 kHz vowels with vibrato and an unvoiced gap), float32, steady-state,
+with inputs resident on device (the dev-tunnel host<->device link is not the
+production IO path and is excluded from the timed region; Harvest's host
+contour stage and its transfers ARE included since they are part of the
+pipeline).
+
+Prints one JSON line:
+    {"metric": ..., "value": N, "unit": ..., "vs_baseline": N}
+
+vs_baseline is against the C++ reference binary measured on this container's
+CPU (single utterance, ~3.17x real time; OpenMP adds nothing on 1 vCPU).
+"""
+
+import json
+import sys
+import time
+
+import numpy as np
+
+CPP_REFERENCE_RTF = 3.17  # /tmp/refbuild/test_omp t16.wav: 3.0 s in 0.945 s
+
+
+def synth_utterance(fs, dur, f0_base, seed):
+    rng = np.random.RandomState(seed)
+    n = int(fs * dur)
+    t = np.arange(n) / fs
+    f0 = f0_base * 2 ** ((30 / 1200) * np.sin(2 * np.pi * 5.0 * t))
+    phase = 2 * np.pi * np.cumsum(f0) / fs
+    x = np.zeros(n)
+    for k in range(1, 25):
+        x += np.sin(k * phase) / k
+    x /= np.max(np.abs(x)) * 1.3
+    env = np.ones(n)
+    g0, g1 = int(0.45 * n), int(0.55 * n)
+    env[g0:g1] = 0.0
+    x = x * env + 0.002 * rng.randn(n)
+    return np.clip(x, -0.99, 0.99).astype(np.float32)
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+    from worldtpu.analysis.cheaptrick import CheapTrickKernel
+    from worldtpu.analysis.harvest import HarvestKernel
+    from worldtpu.parallel import batch as B
+    from worldtpu.synthesis import synthesis as S
+
+    fs = 22050
+    dur = 3.0
+    n_utts = 8
+    frame_period = 5.0
+
+    waves = [synth_utterance(fs, dur, 160.0 + 15 * i, i)
+             for i in range(n_utts)]
+    x, lengths, n_frames, F, out_length = B.pad_batch(waves, fs, frame_period)
+    T = x.shape[1]
+    audio_seconds = float(lengths.sum()) / fs
+
+    hk = HarvestKernel(fs, T, f0_floor=40.0, frame_period=frame_period)
+    ck = CheapTrickKernel(fs)
+    mp = S.default_max_pulses(out_length, fs)
+    noise = S.make_noise(jax.random.PRNGKey(0), n_utts * mp,
+                         ck.fft_size, jnp.float32).reshape(n_utts, mp, -1)
+    tpos = jnp.asarray((np.arange(F) * frame_period / 1000.0), jnp.float32)
+    x_dev = jax.device_put(jnp.asarray(x))
+    jax.block_until_ready(x_dev)
+
+    def pipeline():
+        f0s = np.zeros((n_utts, F), np.float32)
+        for i, (f0, _) in enumerate(hk.compute_batch(x_dev)):
+            f0s[i, :len(f0)] = f0
+        y, spec, ap = B.batch_copy_synthesis(
+            x_dev, jnp.asarray(f0s), tpos, noise,
+            fs=fs, fft_size=ck.fft_size,
+            max_half_window=ck.max_half_window,
+            frame_period_s=frame_period / 1000.0,
+            out_length=out_length, max_pulses=mp, mesh=None)
+        jax.block_until_ready(y)
+        return y
+
+    y = pipeline()  # compile + warm the transfer path
+    assert bool(jnp.all(jnp.isfinite(y))), "non-finite output"
+
+    times = []
+    for _ in range(3):
+        t0 = time.time()
+        pipeline()
+        times.append(time.time() - t0)
+    wall = min(times)
+    rtf = audio_seconds / wall
+
+    print(json.dumps({
+        "metric": "analysis+resynthesis real-time factor per chip "
+                  "(batched 8x3s 22.05kHz, float32, full Harvest+CheapTrick+"
+                  "D4C+Synthesis)",
+        "value": round(rtf, 2),
+        "unit": "x realtime",
+        "vs_baseline": round(rtf / CPP_REFERENCE_RTF, 2),
+    }))
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

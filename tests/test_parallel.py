@@ -1,0 +1,74 @@
+"""Multi-device sharding tests on the virtual 8-device CPU mesh."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from conftest import load_fixture
+from worldtpu.analysis.cheaptrick import CheapTrickKernel
+from worldtpu.parallel import batch as B
+from worldtpu.synthesis import synthesis as S
+
+
+def test_eight_virtual_devices():
+    assert len(jax.devices()) == 8
+
+
+def _setup_batch(f, n_rep=8):
+    kern = CheapTrickKernel(f.fs)
+    F = len(f.f0)
+    # pad frames to a multiple of the time axis (2)
+    Fp = F + (-F) % 2
+    f0 = np.zeros((n_rep, Fp))
+    f0[:, :F] = f.f0
+    x = np.tile(f.x, (n_rep, 1))
+    tpos = np.arange(Fp) * 0.005
+    out_length = int((Fp - 1) * 0.005 * f.fs) + 1
+    mp = S.default_max_pulses(out_length, f.fs)
+    noise = S.make_noise(jax.random.PRNGKey(0), mp, kern.fft_size,
+                         jnp.float64)
+    noise = jnp.tile(noise[None], (n_rep, 1, 1))
+    return kern, x, f0, tpos, out_length, mp, noise
+
+
+def test_batch_copy_synthesis_sharded_matches_single():
+    f = load_fixture("t22")
+    kern, x, f0, tpos, out_length, mp, noise = _setup_batch(f)
+    mesh = B.make_mesh(n_data=4, n_time=2)
+
+    y, spec, ap = B.batch_copy_synthesis(
+        jnp.asarray(x), jnp.asarray(f0), jnp.asarray(tpos), noise,
+        fs=f.fs, fft_size=kern.fft_size,
+        max_half_window=kern.max_half_window, frame_period_s=0.005,
+        out_length=out_length, max_pulses=mp, mesh=mesh)
+
+    y1, spec1, ap1 = B.batch_copy_synthesis(
+        jnp.asarray(x[:1]), jnp.asarray(f0[:1]), jnp.asarray(tpos),
+        noise[:1], fs=f.fs, fft_size=kern.fft_size,
+        max_half_window=kern.max_half_window, frame_period_s=0.005,
+        out_length=out_length, max_pulses=mp, mesh=None)
+
+    assert y.shape == (8, out_length)
+    # all batch rows identical inputs -> identical outputs
+    np.testing.assert_allclose(np.asarray(y[3]), np.asarray(y[0]),
+                               rtol=0, atol=0)
+    # sharded result == unsharded result
+    np.testing.assert_allclose(np.asarray(y[0]), np.asarray(y1[0]),
+                               rtol=1e-9, atol=1e-12)
+    np.testing.assert_allclose(np.asarray(spec[0]), np.asarray(spec1[0]),
+                               rtol=1e-9, atol=1e-12)
+    np.testing.assert_allclose(np.asarray(ap[0]), np.asarray(ap1[0]),
+                               rtol=1e-9, atol=1e-12)
+
+
+def test_data_only_mesh():
+    f = load_fixture("t22")
+    kern, x, f0, tpos, out_length, mp, noise = _setup_batch(f)
+    mesh = B.make_mesh(n_data=8, n_time=1)
+    y, _, _ = B.batch_copy_synthesis(
+        jnp.asarray(x), jnp.asarray(f0), jnp.asarray(tpos), noise,
+        fs=f.fs, fft_size=kern.fft_size,
+        max_half_window=kern.max_half_window, frame_period_s=0.005,
+        out_length=out_length, max_pulses=mp, mesh=mesh)
+    assert bool(jnp.all(jnp.isfinite(y)))

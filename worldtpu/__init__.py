@@ -12,7 +12,7 @@ Public API mirrors the reference classes (see api.py):
 __version__ = "0.1.0"
 
 _API_NAMES = (
-    "HarvestOption", "CheapTrickOption", "D4COption", "SynthesisOption",
+    "HarvestOption", "CheapTrickOption", "D4COption",
     "Harvest", "CheapTrick", "D4C", "Synthesis",
 )
 

@@ -50,6 +50,10 @@ def _matlab_round_py(x):
     return int(x + 0.5) if x > 0 else int(x - 0.5)
 
 
+def _matlab_round_np(x):
+    return np.where(x > 0, np.floor(x + 0.5), np.ceil(x - 0.5)).astype(int)
+
+
 def _matlab_round(x):
     return jnp.where(x > 0, jnp.floor(x + 0.5), jnp.ceil(x - 0.5)).astype(jnp.int32)
 
@@ -144,24 +148,46 @@ def _zero_crossings(sig, n_eff, e_max, fs_a, tpos):
     L = sig.shape[0]
     i = jnp.arange(L - 1)
     mask = (sig[:-1] > 0.0) & (sig[1:] <= 0.0) & (i < n_eff - 1)
-    rank = jnp.cumsum(mask) - 1
-    count = jnp.sum(mask)
+    cum = jnp.cumsum(mask)
+    count = cum[-1]
 
     e = i + 1
     fine = e.astype(sig.dtype) - sig[:-1] / (sig[1:] - sig[:-1])
-    dense = jnp.full((e_max + 1,), jnp.inf, sig.dtype)
-    slot = jnp.where(mask, jnp.minimum(rank, e_max - 1), e_max)
-    dense = dense.at[slot].set(fine)
+    # compact events with UNIQUE scatter indices (duplicate dump slots force
+    # XLA into a serialized scatter): events go to their rank, non-events to
+    # distinct slots past e_max
+    slot = jnp.where(mask, jnp.minimum(cum - 1, e_max - 1),
+                     e_max + (i - cum))
+    dense = jnp.full((e_max + L,), jnp.inf, sig.dtype)
+    dense = dense.at[slot].set(fine, unique_indices=True)
 
-    f_lo = dense[:-1]
-    f_hi = dense[1:]
+    f_lo = dense[:e_max]
+    f_hi = dense[1:e_max + 1]
     locations = (f_lo + f_hi) / 2.0 / fs_a
     intervals = fs_a / (f_hi - f_lo)
     k = jnp.arange(e_max)
     n_int = count - 1
     locations = jnp.where(k < n_int, locations, jnp.inf)
 
-    vals = interp1(locations, intervals, tpos, n_valid=n_int)
+    if sig.dtype == jnp.float64:
+        # parity path: literal histc/searchsorted edge semantics
+        vals = interp1(locations, intervals, tpos, n_valid=n_int)
+        return vals, count
+
+    # production path — histc segment index per (1 ms-grid) frame without
+    # binary search: seg(t) = clip(#locations <= t, 1, n_int-1), counted by
+    # scattering each location into its first affected frame + cumsum
+    F = tpos.shape[0]
+    first_frame = jnp.ceil(locations * 1000.0).astype(jnp.int32)
+    first_frame = jnp.where(k < n_int, jnp.clip(first_frame, 0, F), F)
+    hits = jnp.zeros((F + 1,), jnp.int32).at[first_frame].add(1)
+    nle = jnp.cumsum(hits[:F])                     # #locs <= t_f
+    seg = jnp.clip(nle, 1, jnp.maximum(n_int - 1, 1))
+    x0 = jnp.take(locations, seg - 1)
+    x1 = jnp.take(locations, seg)
+    y0 = jnp.take(intervals, seg - 1)
+    y1 = jnp.take(intervals, seg)
+    vals = y0 + (tpos - x0) / (x1 - x0) * (y1 - y0)
     return vals, count
 
 
@@ -274,10 +300,16 @@ def candidates_stage(y, mean_y, tpos, *, geo):
     halves = jnp.asarray(
         [_matlab_round_py(geo.actual_fs / b * 2.0) for b in geo.boundary_f0],
         jnp.int32)
-    raw = jax.lax.map(
-        lambda args: _band_candidates(y_spectrum, args[0], args[1], geo, tpos),
-        (bounds, halves),
-        batch_size=16)
+    if dt == jnp.float64:
+        # chunked for CPU-parity memory; f32 runs all bands in one batch
+        raw = jax.lax.map(
+            lambda args: _band_candidates(
+                y_spectrum, args[0], args[1], geo, tpos),
+            (bounds, halves), batch_size=16)
+    else:
+        raw = jax.vmap(
+            lambda b, hlf: _band_candidates(y_spectrum, b, hlf, geo, tpos))(
+                bounds, halves)
     base = _detect_candidates(raw, geo)
     return _overlap_candidates(base), raw, base
 
@@ -288,7 +320,19 @@ def candidates_stage(y, mean_y, tpos, *, geo):
 
 def _refine_chunk(y, cand, pos, geo):
     """Refine one chunk of frames; cand [Fc, S], pos [Fc].
-    Reference refineF0Candidates/getMeanF0/fixF0 (:844-982)."""
+    Reference refineF0Candidates/getMeanF0/fixF0 (:844-982).
+
+    Production (float32) path: every pair in a frame reads the same
+    603-sample neighborhood of y, so the waveform is gathered ONCE per frame
+    and pair windows are built in segment coordinates m = j + (hwmax - hw).
+    The induced time shift multiplies both spectra by the same unit phase,
+    which cancels exactly in |S_main|^2 and Im(conj(S_main) S_diff) — so no
+    correction is needed.  This removes the [pairs, W] waveform gather that
+    otherwise dominates (~25x the rest of the stage on TPU).  Spectra come
+    from one MXU matmul-DFT against the shared [W, K] global-grid basis
+    (bin k*stride of the 2^max FFT == bin k of each pair's own FFT).
+    The float64 path keeps the literal per-pair layout + batched rfft for
+    bitwise golden parity."""
     dt = y.dtype
     Fc, S = cand.shape
     P = Fc * S
@@ -304,35 +348,9 @@ def _refine_chunk(y, cand, pos, geo):
     fft_p = jnp.left_shift(1, fft_index)
     ratio = geo.refine_fft // fft_p                    # global-bin stride
 
-    Wmax = 2 * geo.max_half_window + 1
-    j = jnp.arange(Wmax)
-    in_w = j[None, :] < w_len[:, None]
-    base_time0 = -hw.astype(dt) / fs_a
-    basic_index = _matlab_round((pp + base_time0) * fs_a + 0.001)
-    base_index = basic_index[:, None] + j[None, :]
-
+    hwmax = geo.max_half_window
+    Wmax = 2 * hwmax + 1
     wlt = w_len.astype(dt) / fs_a
-    tmp = (base_index.astype(dt) - 1.0) / fs_a - pp[:, None]
-    t2 = 2.0 * C.PI * tmp / wlt[:, None]
-    mw = 0.42 + 0.5 * jnp.cos(t2) + 0.08 * jnp.cos(2.0 * t2)
-    mw = jnp.where(in_w, mw, 0.0)
-
-    # diff window (reference getDiffWindow :794-803)
-    mw_m1 = jnp.concatenate([jnp.zeros((P, 1), dt), mw[:, :-1]], axis=1)
-    mw_p1 = jnp.concatenate([mw[:, 1:], jnp.zeros((P, 1), dt)], axis=1)
-    dw = -(mw_p1 - mw_m1) / 2.0
-    # edges: dw[0] = -mw[1]/2 (generic formula gives that since mw_m1[0]=0);
-    # dw[W-1] = mw[W-2]/2 likewise. Mask outside the window:
-    dw = jnp.where(in_w, dw, 0.0)
-
-    safe = jnp.clip(base_index - 1, 0, geo.y_length - 1)
-    seg = y[safe]
-    main = seg * mw
-    diff = seg * dw
-
-    Sm = jnp.fft.rfft(main, n=geo.refine_fft, axis=-1)
-    Sd = jnp.fft.rfft(diff, n=geo.refine_fft, axis=-1)
-
     n_harm = jnp.minimum((fs_a / 2.0 / f0s).astype(jnp.int32), 6)
     h = jnp.arange(6)
     idx_h = _matlab_round(
@@ -340,10 +358,64 @@ def _refine_chunk(y, cand, pos, geo):
         * (h[None, :] + 1.0))                          # [P, 6]
     gbin = jnp.clip(idx_h * ratio[:, None], 0, geo.refine_fft // 2)
     pr = jnp.arange(P)[:, None]
-    Smh = Sm[pr, gbin]
-    Sdh = Sd[pr, gbin]
-    power = (Smh.real ** 2 + Smh.imag ** 2).astype(dt)
-    num_i = (Smh.real * Sdh.imag - Smh.imag * Sdh.real).astype(dt)
+
+    if dt == jnp.float64:
+        # ---- parity path: literal per-pair windows + batched rfft ----
+        j = jnp.arange(Wmax)
+        in_w = j[None, :] < w_len[:, None]
+        base_time0 = -hw.astype(dt) / fs_a
+        basic_index = _matlab_round((pp + base_time0) * fs_a + 0.001)
+        base_index = basic_index[:, None] + j[None, :]
+        tmp = (base_index.astype(dt) - 1.0) / fs_a - pp[:, None]
+        t2 = 2.0 * C.PI * tmp / wlt[:, None]
+        mw = 0.42 + 0.5 * jnp.cos(t2) + 0.08 * jnp.cos(2.0 * t2)
+        mw = jnp.where(in_w, mw, 0.0)
+        mw_m1 = jnp.concatenate([jnp.zeros((P, 1), dt), mw[:, :-1]], axis=1)
+        mw_p1 = jnp.concatenate([mw[:, 1:], jnp.zeros((P, 1), dt)], axis=1)
+        dw = jnp.where(in_w, -(mw_p1 - mw_m1) / 2.0, 0.0)
+        safe = jnp.clip(base_index - 1, 0, geo.y_length - 1)
+        seg = y[safe]
+        main = seg * mw
+        diff = seg * dw
+        Sm = jnp.fft.rfft(main, n=geo.refine_fft, axis=-1)
+        Sd = jnp.fft.rfft(diff, n=geo.refine_fft, axis=-1)
+        Sm_re, Sm_im = Sm.real[pr, gbin], Sm.imag[pr, gbin]
+        Sd_re, Sd_im = Sd.real[pr, gbin], Sd.imag[pr, gbin]
+    else:
+        # ---- production path: frame segments + matmul-DFT ----
+        m = jnp.arange(Wmax)
+        origin = _matlab_round(pos * fs_a + 0.001)     # [Fc]
+        q = origin[:, None] - 1 - hwmax + m[None, :]   # y index per (f, m)
+        ys = y[jnp.clip(q, 0, geo.y_length - 1)]       # [Fc, Wseg]
+        tmp_f = q.astype(dt) / fs_a - pos[:, None]     # frame-level times
+
+        hw2 = hw.reshape(Fc, S)
+        in_w = jnp.abs(m[None, None, :] - hwmax) <= hw2[:, :, None]
+        t2 = (2.0 * C.PI) * tmp_f[:, None, :] / wlt.reshape(Fc, S)[:, :, None]
+        mw = 0.42 + 0.5 * jnp.cos(t2) + 0.08 * jnp.cos(2.0 * t2)
+        mw = jnp.where(in_w, mw, 0.0)                  # [Fc, S, Wseg]
+        z = jnp.zeros((Fc, S, 1), dt)
+        dw = -(jnp.concatenate([mw[..., 1:], z], -1)
+               - jnp.concatenate([z, mw[..., :-1]], -1)) / 2.0
+        dw = jnp.where(in_w, dw, 0.0)
+        main = (ys[:, None, :] * mw).reshape(P, Wmax)
+        diff = (ys[:, None, :] * dw).reshape(P, Wmax)
+
+        K = geo.refine_fft // 2 + 1
+        jj = jnp.arange(Wmax, dtype=dt)[:, None]
+        kk = jnp.arange(K, dtype=dt)[None, :]
+        ang = (2.0 * C.PI / geo.refine_fft) * jj * kk
+        basis_c = jnp.cos(ang)
+        basis_s = -jnp.sin(ang)
+        Sm_re_full = jnp.dot(main, basis_c, preferred_element_type=dt)
+        Sm_im_full = jnp.dot(main, basis_s, preferred_element_type=dt)
+        Sd_re_full = jnp.dot(diff, basis_c, preferred_element_type=dt)
+        Sd_im_full = jnp.dot(diff, basis_s, preferred_element_type=dt)
+        Sm_re, Sm_im = Sm_re_full[pr, gbin], Sm_im_full[pr, gbin]
+        Sd_re, Sd_im = Sd_re_full[pr, gbin], Sd_im_full[pr, gbin]
+
+    power = Sm_re ** 2 + Sm_im ** 2
+    num_i = Sm_re * Sd_im - Sm_im * Sd_re
 
     base_freq = idx_h.astype(dt) * fs_a / fft_p[:, None].astype(dt)
     instf = jnp.where(power == 0.0, 0.0,
@@ -411,6 +483,31 @@ def remove_unreliable_stage(cand, score):
 
 
 # ---------------------------------------------------------------------------
+# fused device pipeline (one dispatch, one download)
+# ---------------------------------------------------------------------------
+
+@functools.partial(jax.jit, static_argnames=("geo", "chunk"))
+def harvest_device_stages(x, mean_y, *, geo, chunk=64):
+    """decimate -> candidates -> refine -> prune as ONE program.
+
+    Returns a single flat [2*F*S] array (candidates ++ scores) so the
+    host contour stage costs exactly one device->host transfer."""
+    dtype = x.dtype
+    y = decimate_stage(x, ratio=geo.ratio, y_length=geo.y_length)
+    tpos1 = jnp.arange(geo.f0_length, dtype=dtype) / 1000.0
+    cand, _, _ = candidates_stage(y, mean_y, tpos1, geo=geo)
+    cand, score = refine_stage(y - mean_y, cand, tpos1, geo=geo, chunk=chunk)
+    cand, score = remove_unreliable_stage(cand, score)
+    return jnp.concatenate([cand.reshape(-1), score.reshape(-1)])
+
+
+harvest_device_stages_batch = jax.jit(
+    jax.vmap(lambda x, m, geo, chunk: harvest_device_stages(
+        x, m, geo=geo, chunk=chunk), in_axes=(0, 0, None, None)),
+    static_argnums=(2, 3))
+
+
+# ---------------------------------------------------------------------------
 # orchestration
 # ---------------------------------------------------------------------------
 
@@ -434,28 +531,47 @@ class HarvestKernel:
         return 1 + int(1000.0 * g.x_length / g.fs / g.frame_period)
 
     def compute(self, x, dtype=jnp.float64):
-        from worldtpu.native import int_trunc_sum
         g = self.geo
         x = jnp.asarray(x, dtype)
-        y = decimate_stage(x, ratio=g.ratio, y_length=g.y_length)
-        y_host = np.asarray(y)
-        mean_y = int_trunc_sum(y_host) / g.y_length
-        tpos1 = jnp.arange(g.f0_length, dtype=dtype) / 1000.0
+        if dtype == jnp.float64:
+            # parity path: the reference's int-truncating mean of the
+            # decimated signal, computed exactly on host
+            from worldtpu.native import int_trunc_sum
+            y = decimate_stage(x, ratio=g.ratio, y_length=g.y_length)
+            mean_y = int_trunc_sum(np.asarray(y)) / g.y_length
+            chunk = 16
+        else:
+            # production path: that mean is exactly 0 whenever |y| < 1
+            # (the int-truncated running sum never leaves 0); skip the
+            # host round trip
+            mean_y = 0.0
+            chunk = 64
+        flat = np.asarray(harvest_device_stages(
+            x, jnp.asarray(mean_y, dtype), geo=g, chunk=chunk))
+        return self._finish(flat)
 
-        cand, raw, base = candidates_stage(y, mean_y, tpos1, geo=g)
-        y_pad = jnp.concatenate(
-            [y - mean_y, jnp.zeros((g.fft_size - g.y_length,), dtype)])
-        cand, score = refine_stage(y_pad, cand, tpos1, geo=g)
-        cand, score = remove_unreliable_stage(cand, score)
-
-        cand_h = np.asarray(cand)
-        score_h = np.asarray(score)
+    def _finish(self, flat):
+        g = self.geo
+        F, S = g.f0_length, g.max_candidates
+        cand_h = flat[:F * S].reshape(F, S).astype(np.float64)
+        score_h = flat[F * S:].reshape(F, S).astype(np.float64)
         best = contour.fix_f0_contour(cand_h, score_h)
         f0_1ms = contour.smooth_f0_contour(best)
 
         n_out = self.get_samples()
         tpos = np.arange(n_out) * g.frame_period / 1000.0
         pick = np.minimum(g.f0_length - 1,
-                          np.array([_matlab_round_py(t * 1000.0)
-                                    for t in tpos]))
+                          _matlab_round_np(tpos * 1000.0))
         return f0_1ms[pick], tpos
+
+    def compute_batch(self, x_batch, dtype=jnp.float32, chunk=32):
+        """Batched Harvest over [B, T] same-length utterances: one device
+        dispatch + one transfer for the whole batch, host contour per row."""
+        g = self.geo
+        x_batch = jnp.asarray(x_batch, dtype)
+        mean = jnp.zeros((x_batch.shape[0],), dtype)
+        flat = np.asarray(jnp.ravel(harvest_device_stages_batch(
+            x_batch, mean, g, chunk)))
+        n = 2 * g.f0_length * g.max_candidates
+        return [self._finish(flat[i * n:(i + 1) * n])
+                for i in range(x_batch.shape[0])]

@@ -1,0 +1,164 @@
+"""Command-line interface: analyze / synthesize / copy-syn.
+
+Mirrors the reference demo workflow (/root/reference/test/test.cpp:288-384):
+wav -> Harvest -> CheapTrick -> D4C -> [f0 scale / formant stretch] ->
+Synthesis -> wav, with the same per-stage init/compute timing printout and
+byte-compatible parameter files for interop with the C++ world.
+
+Usage:
+    python -m worldtpu.cli copy-syn in.wav out.wav [--f0-scale S] [--formant-scale R]
+    python -m worldtpu.cli analyze in.wav prefix      # writes prefix.{f0,spec,ap}
+    python -m worldtpu.cli synthesize prefix out.wav
+"""
+
+from __future__ import annotations
+
+import argparse
+import sys
+import time
+
+import numpy as np
+
+
+def _timed(label, fn, *args, **kw):
+    t0 = time.time()
+    out = fn(*args, **kw)
+    try:
+        import jax
+        jax.block_until_ready(out)
+    except Exception:
+        pass
+    print(f"\t {label}:\t{(time.time() - t0) * 1000:.3f} [msec]")
+    return out
+
+
+def _analyze(x, fs, frame_period, f0_floor, dtype):
+    import jax.numpy as jnp
+    from worldtpu import api
+
+    print("\nF0 estimation (Harvest)")
+    hopt = api.HarvestOption(frame_period=frame_period, f0_floor=f0_floor)
+    t0 = time.time()
+    harvest = api.Harvest(fs, hopt)
+    kern = harvest._kernel(len(x))
+    print(f"\t initialize:\t{(time.time() - t0) * 1000:.3f} [msec]")
+    tpos, f0 = _timed("compute", harvest.compute, x, dtype=dtype)
+
+    print("\nSpectral envelope estimation (CheapTrick)")
+    t0 = time.time()
+    cheaptrick = api.CheapTrick(fs)
+    print(f"\t initialize:\t{(time.time() - t0) * 1000:.3f} [msec]")
+    spec = _timed("compute", cheaptrick.compute, x, tpos, f0, dtype=dtype)
+
+    print("\nAperiodicity estimation (D4C)")
+    t0 = time.time()
+    d4c = api.D4C(fs)
+    print(f"\t initialize:\t{(time.time() - t0) * 1000:.3f} [msec]")
+    ap = _timed("compute", d4c.compute, x, tpos, f0, cheaptrick.fft_size,
+                dtype=dtype)
+    return tpos, f0, np.asarray(spec), np.asarray(ap), cheaptrick.fft_size
+
+
+def _modify(f0, spec, fs, fft_size, f0_scale, formant_scale):
+    """Reference ParameterModification (/root/reference/test/test.cpp:201-243)."""
+    f0 = f0 * f0_scale
+    if formant_scale == 1.0:
+        return f0, spec
+    import jax
+    import jax.numpy as jnp
+    from worldtpu.ops.interp import interp1
+    k = fft_size // 2 + 1
+    freq1 = formant_scale * np.arange(k) / fft_size * fs
+    freq2 = np.arange(k, dtype=float) / fft_size * fs
+    logsp = jnp.log(jnp.asarray(spec))
+    warped = jax.vmap(lambda v: interp1(
+        jnp.asarray(freq1), v, jnp.asarray(freq2)))(logsp)
+    out = np.exp(np.asarray(warped))
+    if formant_scale < 1.0:
+        cut = int(fft_size / 2.0 * formant_scale)
+        out[:, cut:] = out[:, cut - 1:cut]
+    return f0, out
+
+
+def _synthesize(f0, spec, ap, fs, fft_size, frame_period, dtype, seed=0):
+    import jax
+    from worldtpu import api
+    print("\nSynthesis")
+    out_length = int((len(f0) - 1) * frame_period / 1000.0 * fs) + 1
+    t0 = time.time()
+    syn = api.Synthesis(fs, fft_size, frame_period)
+    print(f"\t initialize:\t{(time.time() - t0) * 1000:.3f} [msec]")
+    y = _timed("compute", syn.compute, f0, spec, ap, out_length,
+               key=jax.random.PRNGKey(seed), dtype=dtype)
+    return np.asarray(y)
+
+
+def main(argv=None):
+    p = argparse.ArgumentParser(prog="worldtpu")
+    p.add_argument("command", choices=["analyze", "synthesize", "copy-syn"])
+    p.add_argument("input")
+    p.add_argument("output")
+    p.add_argument("--frame-period", type=float, default=5.0)
+    p.add_argument("--f0-floor", type=float, default=40.0,
+                   help="Harvest f0 floor (the reference demo uses 40)")
+    p.add_argument("--f0-scale", type=float, default=1.0)
+    p.add_argument("--formant-scale", type=float, default=1.0)
+    p.add_argument("--f32", action="store_true",
+                   help="float32 compute (TPU production path)")
+    p.add_argument("--platform", default=None,
+                   help="jax platform override (cpu / axon / tpu)")
+    p.add_argument("--seed", type=int, default=0)
+    args = p.parse_args(argv)
+
+    import jax
+    if args.platform:
+        jax.config.update("jax_platforms", args.platform)
+    dtype = None
+    import jax.numpy as jnp
+    if args.f32:
+        dtype = jnp.float32
+    else:
+        jax.config.update("jax_enable_x64", True)
+        dtype = jnp.float64
+
+    from worldtpu.io import params, wav
+
+    if args.command in ("analyze", "copy-syn"):
+        x, fs, nbit = wav.wavread(args.input)
+        print("File information")
+        print(f"Sampling : {fs} [Hz] {nbit} [Bit]")
+        print(f"Length {len(x)} [sample]")
+        print(f"Length {len(x) / fs} [sec]")
+        tpos, f0, spec, ap, fft_size = _analyze(
+            x, fs, args.frame_period, args.f0_floor, dtype)
+        if args.command == "analyze":
+            params.write_f0(args.output + ".f0", f0, args.frame_period)
+            params.write_spectral_envelope(
+                args.output + ".spec", spec, fs, args.frame_period, fft_size)
+            params.write_aperiodicity(
+                args.output + ".ap", ap, fs, args.frame_period, fft_size)
+            print(f"\nwrote {args.output}.{{f0,spec,ap}}")
+            return 0
+        f0, spec = _modify(f0, spec, fs, fft_size,
+                           args.f0_scale, args.formant_scale)
+        y = _synthesize(f0, spec, ap, fs, fft_size, args.frame_period,
+                        dtype, args.seed)
+        wav.wavwrite(args.output, y, fs)
+        print(f"\nwrote {args.output}")
+        return 0
+
+    # synthesize from parameter files
+    f0, tpos, fp = params.read_f0(args.input + ".f0")
+    spec, meta = params.read_spectral_envelope(args.input + ".spec")
+    ap, _ = params.read_aperiodicity(args.input + ".ap")
+    fs, fft_size = meta["fs"], meta["fft_size"]
+    f0, spec = _modify(f0, spec, fs, fft_size,
+                       args.f0_scale, args.formant_scale)
+    y = _synthesize(f0, spec, ap, fs, fft_size, fp, dtype, args.seed)
+    wav.wavwrite(args.output, y, fs)
+    print(f"\nwrote {args.output}")
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -148,6 +148,29 @@ def test_contour_stages(name):
     np.testing.assert_allclose(sm, d.smoothed, rtol=1e-8, atol=1e-8)
 
 
+def test_harvest_cos_table_parity():
+    """use_cos_table=True against a dedicated C++ dump (t22.f0costab)."""
+    import gzip as _gz
+    f = load_fixture("t22")
+    want = np.frombuffer(
+        _gz.open(FIXTURES / "t22.f0costab.gz").read(), "<f8")
+    kern = H.HarvestKernel(f.fs, len(f.x), f0_floor=40.0, frame_period=5.0,
+                           use_cos_table=True)
+    f0, _ = kern.compute(f.x)
+    assert len(f0) == len(want)
+    rmse = np.sqrt(np.mean((f0 - want) ** 2))
+    assert rmse < 1e-6, f"cos-table F0 RMSE {rmse} Hz"
+
+
+def test_harvest_batch_matches_single():
+    f = load_fixture("t22")
+    kern = H.HarvestKernel(f.fs, len(f.x), f0_floor=40.0, frame_period=5.0)
+    f0_single, tpos = kern.compute(f.x, dtype=jnp.float32)
+    outs = kern.compute_batch(np.tile(f.x, (3, 1)))
+    for f0_b, tpos_b in outs:
+        np.testing.assert_allclose(f0_b, f0_single, rtol=0, atol=0)
+
+
 @pytest.mark.parametrize("name", ["t22", "t16", "t48"])
 def test_harvest_end_to_end(name):
     f = load_fixture(name)

@@ -97,6 +97,10 @@ def cheaptrick_frames(x, f0, temporal_positions, *, fs, fft_size,
             power, cf0 * 2.0 / 3.0)
 
     # ---- infinitesimal noise floor (:220-228) ----
+    if dt != jnp.float64:
+        # float32 smoothing can leave tiny negative residuals; clamp before
+        # the log (the f64 parity path matches the reference exactly instead)
+        power = jnp.maximum(power, 0.0)
     if spectrum_dither is not None:
         power = power + jnp.abs(spectrum_dither.astype(dt)) * C.EPS
     else:

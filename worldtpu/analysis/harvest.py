@@ -54,6 +54,44 @@ def _matlab_round_np(x):
     return np.where(x > 0, np.floor(x + 0.5), np.ceil(x - 0.5)).astype(int)
 
 
+_NUM_COS_DIV = 2000
+
+
+@functools.lru_cache()
+def _cos_table_np():
+    """The reference's quarter-wave-mirrored cosine table
+    (get_cos_table, /root/reference/src/harvest.cpp:152-170)."""
+    n = _NUM_COS_DIV
+    q = np.cos(np.arange(n + 1) * (C.PI / 2.0 / n))
+    t = np.empty(4 * n + 1)
+    t[:n + 1] = q
+    t[n + 1:2 * n + 1] = -q[n - 1::-1]
+    t[2 * n + 1:3 * n + 1] = -q[1:n + 1]
+    t[3 * n + 1:4 * n + 1] = q[n - 1::-1]
+    return t
+
+
+def _main_window_values(t2, use_cos_table, dt):
+    """Blackman-ish window from angle t2 = 2*pi*tmp/window_length_in_time.
+
+    Exact-cos (reference getMainWindow :769-774) or the table variant
+    (:775-787): dindex = fmod(2*pi*(tmp/wlt + 1), 2*pi)/2*pi*num_div,
+    dindex2 = fmod(2*dindex, num_div*4), rounded lookups."""
+    if not use_cos_table:
+        return 0.42 + 0.5 * jnp.cos(t2) + 0.08 * jnp.cos(2.0 * t2)
+    num_div = _NUM_COS_DIV * 4
+    two_pi = 2.0 * C.PI
+    tab = jnp.asarray(_cos_table_np(), dt)
+    tmp2 = t2 + two_pi  # 2*pi*(tmp/wlt + 1)
+    dindex = jnp.mod(tmp2, two_pi) / two_pi * num_div
+    dindex2 = jnp.mod(dindex * 2.0, float(num_div))
+    i1 = jnp.where(dindex > 0, jnp.floor(dindex + 0.5),
+                   jnp.ceil(dindex - 0.5)).astype(jnp.int32)
+    i2 = jnp.where(dindex2 > 0, jnp.floor(dindex2 + 0.5),
+                   jnp.ceil(dindex2 - 0.5)).astype(jnp.int32)
+    return 0.42 + 0.5 * tab[i1] + 0.08 * tab[i2]
+
+
 def _matlab_round(x):
     return jnp.where(x > 0, jnp.floor(x + 0.5), jnp.ceil(x - 0.5)).astype(jnp.int32)
 
@@ -63,13 +101,15 @@ class HarvestGeometry:
     preallocation math, /root/reference/src/harvest.cpp:69-141)."""
 
     def __init__(self, fs, x_length, f0_floor=C.FLOOR_F0, f0_ceil=C.CEIL_F0,
-                 frame_period=5.0, target_fs=8000.0, channels_in_octave=40.0):
+                 frame_period=5.0, target_fs=8000.0, channels_in_octave=40.0,
+                 use_cos_table=False):
         self.fs = fs
         self.x_length = x_length
         self.f0_floor = f0_floor
         self.f0_ceil = f0_ceil
         self.frame_period = frame_period
         self.channels_in_octave = channels_in_octave
+        self.use_cos_table = use_cos_table
 
         self.ratio = max(1, min(12, _matlab_round_py(fs / target_fs)))
         self.actual_fs = fs / self.ratio
@@ -217,13 +257,14 @@ def _band_candidates(y_spectrum, boundary_f0, filter_half, geo, tpos):
     g = f[1:] - f[:-1]  # diff for peaks/dips (length y_len-1)
     g = jnp.concatenate([g, jnp.zeros((1,), dt)])
 
-    c0, n0 = _zero_crossings(f, y_len, geo.e_max, fs_a, tpos)
-    c1, n1 = _zero_crossings(-f, y_len, geo.e_max, fs_a, tpos)
-    c2, n2 = _zero_crossings(g, y_len - 1, geo.e_max, fs_a, tpos)
-    c3, n3 = _zero_crossings(-g, y_len - 1, geo.e_max, fs_a, tpos)
+    sigs = jnp.stack([f, -f, g, -g])
+    n_effs = jnp.asarray([y_len, y_len, y_len - 1, y_len - 1])
+    cs, ns = jax.vmap(
+        lambda s, ne: _zero_crossings(s, ne, geo.e_max, fs_a, tpos))(
+            sigs, n_effs)
 
-    usable = ((n0 - 1 > 2) & (n1 - 1 > 2) & (n2 - 1 > 2) & (n3 - 1 > 2))
-    cand = (c0 + c1 + c2 + c3) / 4.0
+    usable = jnp.all(ns - 1 > 2)
+    cand = jnp.sum(cs, axis=0) / 4.0
     upper = boundary_f0 * 1.1
     lower = boundary_f0 * 0.9
     ok = (cand <= upper) & (cand >= lower) \
@@ -368,7 +409,7 @@ def _refine_chunk(y, cand, pos, geo):
         base_index = basic_index[:, None] + j[None, :]
         tmp = (base_index.astype(dt) - 1.0) / fs_a - pp[:, None]
         t2 = 2.0 * C.PI * tmp / wlt[:, None]
-        mw = 0.42 + 0.5 * jnp.cos(t2) + 0.08 * jnp.cos(2.0 * t2)
+        mw = _main_window_values(t2, geo.use_cos_table, dt)
         mw = jnp.where(in_w, mw, 0.0)
         mw_m1 = jnp.concatenate([jnp.zeros((P, 1), dt), mw[:, :-1]], axis=1)
         mw_p1 = jnp.concatenate([mw[:, 1:], jnp.zeros((P, 1), dt)], axis=1)
@@ -392,7 +433,7 @@ def _refine_chunk(y, cand, pos, geo):
         hw2 = hw.reshape(Fc, S)
         in_w = jnp.abs(m[None, None, :] - hwmax) <= hw2[:, :, None]
         t2 = (2.0 * C.PI) * tmp_f[:, None, :] / wlt.reshape(Fc, S)[:, :, None]
-        mw = 0.42 + 0.5 * jnp.cos(t2) + 0.08 * jnp.cos(2.0 * t2)
+        mw = _main_window_values(t2, geo.use_cos_table, dt)
         mw = jnp.where(in_w, mw, 0.0)                  # [Fc, S, Wseg]
         z = jnp.zeros((Fc, S, 1), dt)
         dw = -(jnp.concatenate([mw[..., 1:], z], -1)
@@ -520,11 +561,13 @@ class HarvestKernel:
     grid to the requested frame_period (reference compute :183-208)."""
 
     def __init__(self, fs, x_length, f0_floor=C.FLOOR_F0, f0_ceil=C.CEIL_F0,
-                 frame_period=5.0, target_fs=8000.0, channels_in_octave=40.0):
+                 frame_period=5.0, target_fs=8000.0, channels_in_octave=40.0,
+                 use_cos_table=False):
         self.geo = HarvestGeometry(
             fs, x_length, f0_floor=f0_floor, f0_ceil=f0_ceil,
             frame_period=frame_period, target_fs=target_fs,
-            channels_in_octave=channels_in_octave)
+            channels_in_octave=channels_in_octave,
+            use_cos_table=use_cos_table)
 
     def get_samples(self):
         g = self.geo

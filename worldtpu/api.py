@@ -34,7 +34,7 @@ class HarvestOption:
     frame_period: float = 5.0
     target_fs: float = 8000.0
     channels_in_octave: float = 40.0
-    use_cos_table: bool = False  # accepted for API parity; exact cos is used
+    use_cos_table: bool = False
 
 
 @dataclasses.dataclass
@@ -70,7 +70,8 @@ class Harvest:
             self._kernels[x_length] = _harvest.HarvestKernel(
                 self.fs, x_length, f0_floor=o.f0_floor, f0_ceil=o.f0_ceil,
                 frame_period=o.frame_period, target_fs=o.target_fs,
-                channels_in_octave=o.channels_in_octave)
+                channels_in_octave=o.channels_in_octave,
+                use_cos_table=o.use_cos_table)
         return self._kernels[x_length]
 
     def compute(self, x, dtype=jnp.float64):

@@ -73,6 +73,23 @@ def _read_matrix(path, magic):
         fs=fs, frame_period=fp, fft_size=fft_size, nod=nod)
 
 
+def get_header_information(path, parameter):
+    """Scan a parameter file for a 4-char tag and return its value
+    (reference GetHeaderInformation, tools/parameterio.cpp:120-145).
+    "FP  " returns float; other tags return ints (as float, like the C)."""
+    tag = parameter if isinstance(parameter, bytes) else parameter.encode()
+    with _open_read(path) as f:
+        data = f.read(120)
+    pos = 0
+    for _ in range(13):
+        if data[pos:pos + 4] == tag:
+            if tag == b"FP  ":
+                return struct.unpack("<d", data[pos + 4:pos + 12])[0]
+            return float(struct.unpack("<i", data[pos + 4:pos + 8])[0])
+        pos += 4
+    return 0.0
+
+
 def write_spectral_envelope(path, spectrogram, fs, frame_period, fft_size, nod=0):
     _write_matrix(path, b"SPEC", spectrogram, fs, frame_period, fft_size, nod)
 

@@ -245,21 +245,53 @@ def linear_smoothing(power_spectrum, width, fs, fft_size, max_boundary):
     refl = jnp.clip(refl, 0, half)
     mirr = jnp.take(power_spectrum, refl)
 
-    seg = jnp.cumsum(mirr * (fs / fft_size)).astype(dt)
+    vals = mirr * (fs / fft_size)
 
     # interp1Q(origin=-(boundary-0.5)*fs/fft, dx=fs/fft, seg, freq -+ width/2)
     i = jnp.arange(k, dtype=dt)
     u = width * fft_size / fs  # width in bins (real)
     b = boundary.astype(dt)
+    pos_lo = i - u / 2.0 + b - 0.5
+    pos_hi = i + u / 2.0 + b - 0.5
 
-    def levels(pos):
+    if dt == jnp.float64:
+        # parity path: literal cumsum + interp1Q difference like the C++
+        seg = jnp.cumsum(vals)
+
+        def levels(pos):
+            base = pos.astype(jnp.int32)
+            frac = pos - base.astype(dt)
+            base_c = jnp.clip(base, 0, seg.shape[0] - 2)
+            y0 = jnp.take(seg, base_c)
+            y1 = jnp.take(seg, base_c + 1)
+            return y0 + (y1 - y0) * frac
+
+        return (levels(pos_hi) - levels(pos_lo)) / width
+
+    # float32: the difference of two nearby prefix sums cancels
+    # catastrophically (and can go negative, poisoning downstream logs).
+    # Keep a compensated (TwoSum) cumsum and form the DIFFERENCE from the
+    # (hi, lo) pair — hi-hi cancellation is exact, lo carries the residual —
+    # with the interp slopes taken from the exact per-bin values.
+    def comb(a, bb):
+        s1, c1 = a
+        s2, c2 = bb
+        s = s1 + s2
+        bv = s - s1
+        e = (s1 - (s - bv)) + (s2 - bv)
+        return s, c1 + c2 + e
+
+    hi, lo = jax.lax.associative_scan(comb, (vals, jnp.zeros_like(vals)))
+
+    def parts(pos):
         base = pos.astype(jnp.int32)
         frac = pos - base.astype(dt)
-        base_c = jnp.clip(base, 0, seg.shape[0] - 2)
-        y0 = jnp.take(seg, base_c)
-        y1 = jnp.take(seg, base_c + 1)
-        return y0 + (y1 - y0) * frac
+        base_c = jnp.clip(base, 0, vals.shape[0] - 2)
+        step = jnp.take(vals, base_c + 1)  # exact cumsum delta
+        return base_c, frac, step
 
-    low = levels(i - u / 2.0 + b - 0.5)
-    high = levels(i + u / 2.0 + b - 0.5)
-    return (high - low) / width
+    b_lo, f_lo, s_lo = parts(pos_lo)
+    b_hi, f_hi, s_hi = parts(pos_hi)
+    base_diff = ((jnp.take(hi, b_hi) - jnp.take(hi, b_lo))
+                 + (jnp.take(lo, b_hi) - jnp.take(lo, b_lo)))
+    return (base_diff + f_hi * s_hi - f_lo * s_lo) / width

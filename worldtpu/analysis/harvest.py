@@ -231,15 +231,31 @@ def _zero_crossings(sig, n_eff, e_max, fs_a, tpos):
     return vals, count
 
 
-def _band_candidates(y_spectrum, boundary_f0, filter_half, geo, tpos):
-    """Candidate contour for ONE band (vmapped).  Reference
-    getFilteredSignal (:1261-1305) + getFourZeroCrossingIntervals +
-    getF0CandidateContour (:1098-1143)."""
+def _bandpass_kernels(geo, dt):
+    """Centered Nuttall*cos bandpass kernel bank [Nb, 2*Lmax+1].
+    Reference getFilteredSignal (:1261-1269); the kernels are symmetric, so
+    filtering == correlation with the centered kernel at lag n+1."""
+    Lmax = geo.max_filter_half
+    j = jnp.arange(2 * Lmax + 1)
+    halves = jnp.asarray(
+        [_matlab_round_py(geo.actual_fs / b * 2.0) for b in geo.boundary_f0],
+        jnp.int32)[:, None]
+    bounds = jnp.asarray(geo.boundary_f0, dt)[:, None]
+    m = j[None, :] - Lmax                       # centered tap index
+    in_f = jnp.abs(m) <= halves
+    tpos_w = (m + halves).astype(dt) / (2 * halves).astype(dt)
+    win = (0.355768
+           - 0.487396 * jnp.cos(2.0 * C.PI * tpos_w)
+           + 0.144232 * jnp.cos(4.0 * C.PI * tpos_w)
+           - 0.012604 * jnp.cos(6.0 * C.PI * tpos_w))
+    t = m.astype(dt) / geo.actual_fs
+    return jnp.where(in_f, win * jnp.cos(2.0 * C.PI * bounds * t), 0.0)
+
+
+def _band_filter_fft(y_spectrum, boundary_f0, filter_half, geo, dt):
+    """One band's filtered signal via the reference's circular-FFT route."""
     fft_size = geo.fft_size
     fs_a = geo.actual_fs
-    dt = jnp.float64 if y_spectrum.dtype == jnp.complex128 else jnp.float32
-
-    # Nuttall * cos bandpass, length 2*half+1, padded to fft_size
     Lmax = geo.max_filter_half
     j = jnp.arange(2 * Lmax + 1)
     in_f = j <= 2 * filter_half
@@ -250,10 +266,16 @@ def _band_candidates(y_spectrum, boundary_f0, filter_half, geo, tpos):
     H = jnp.fft.rfft(bpf, n=fft_size)
     filtered = jnp.fft.irfft(y_spectrum * H, n=fft_size) * fft_size
     shift = filter_half + 1
-    filtered = jnp.roll(filtered, -shift)
+    return jnp.roll(filtered, -shift)[:geo.y_length]
 
+
+def _band_candidates(f, boundary_f0, geo, tpos):
+    """Candidate contour for ONE band's filtered signal (vmapped).
+    Reference getFourZeroCrossingIntervals + getF0CandidateContour
+    (:1098-1143, :1228-1255)."""
+    dt = f.dtype
     y_len = geo.y_length
-    f = filtered[:y_len]
+    fs_a = geo.actual_fs
     g = f[1:] - f[:-1]  # diff for peaks/dips (length y_len-1)
     g = jnp.concatenate([g, jnp.zeros((1,), dt)])
 
@@ -333,24 +355,37 @@ def _overlap_candidates(base):
 def candidates_stage(y, mean_y, tpos, *, geo):
     """Stages B+C: decimated signal -> overlapped candidates [F, S]."""
     dt = y.dtype
-    y0 = jnp.concatenate([
-        y - mean_y, jnp.zeros((geo.fft_size - geo.y_length,), dt)])
-    y_spectrum = jnp.fft.rfft(y0)
+    ym = y - mean_y
 
-    bounds = jnp.asarray(geo.boundary_f0, dt)
-    halves = jnp.asarray(
-        [_matlab_round_py(geo.actual_fs / b * 2.0) for b in geo.boundary_f0],
-        jnp.int32)
     if dt == jnp.float64:
-        # chunked for CPU-parity memory; f32 runs all bands in one batch
+        # parity path: the reference's circular-FFT filtering, chunked for
+        # CPU memory
+        y0 = jnp.concatenate(
+            [ym, jnp.zeros((geo.fft_size - geo.y_length,), dt)])
+        y_spectrum = jnp.fft.rfft(y0)
+        bounds = jnp.asarray(geo.boundary_f0, dt)
+        halves = jnp.asarray(
+            [_matlab_round_py(geo.actual_fs / b * 2.0)
+             for b in geo.boundary_f0], jnp.int32)
         raw = jax.lax.map(
             lambda args: _band_candidates(
-                y_spectrum, args[0], args[1], geo, tpos),
+                _band_filter_fft(y_spectrum, args[0], args[1], geo, dt),
+                args[0], geo, tpos),
             (bounds, halves), batch_size=16)
     else:
+        # production path: one MXU convolution for the whole filter bank
+        # (mathematically identical to the circular route: the FFT buffer's
+        # zero padding makes the circular convolution linear)
+        Lmax = geo.max_filter_half
+        kern = _bandpass_kernels(geo, dt)             # [Nb, 2*Lmax+1]
+        ypad = jnp.pad(ym, (Lmax - 1, Lmax + 1))
+        filt = jax.lax.conv_general_dilated(
+            ypad[None, None, :], kern[:, None, :],
+            window_strides=(1,), padding="VALID",
+            dimension_numbers=("NCW", "OIW", "NCW"))[0]  # [Nb, y_len]
+        bounds = jnp.asarray(geo.boundary_f0, dt)
         raw = jax.vmap(
-            lambda b, hlf: _band_candidates(y_spectrum, b, hlf, geo, tpos))(
-                bounds, halves)
+            lambda fi, b: _band_candidates(fi, b, geo, tpos))(filt, bounds)
     base = _detect_candidates(raw, geo)
     return _overlap_candidates(base), raw, base
 
@@ -452,11 +487,16 @@ def _refine_chunk(y, cand, pos, geo):
         Sm_im_full = jnp.dot(main, basis_s, preferred_element_type=dt)
         Sd_re_full = jnp.dot(diff, basis_c, preferred_element_type=dt)
         Sd_im_full = jnp.dot(diff, basis_s, preferred_element_type=dt)
-        Sm_re, Sm_im = Sm_re_full[pr, gbin], Sm_im_full[pr, gbin]
-        Sd_re, Sd_im = Sd_re_full[pr, gbin], Sd_im_full[pr, gbin]
+        # combine into the two needed quantities BEFORE the per-pair bin
+        # gather (row-indexed gathers cost more than the matmuls here)
+        power_full = Sm_re_full ** 2 + Sm_im_full ** 2
+        numi_full = Sm_re_full * Sd_im_full - Sm_im_full * Sd_re_full
+        power = power_full[pr, gbin]
+        num_i = numi_full[pr, gbin]
 
-    power = Sm_re ** 2 + Sm_im ** 2
-    num_i = Sm_re * Sd_im - Sm_im * Sd_re
+    if dt == jnp.float64:
+        power = Sm_re ** 2 + Sm_im ** 2
+        num_i = Sm_re * Sd_im - Sm_im * Sd_re
 
     base_freq = idx_h.astype(dt) * fs_a / fft_p[:, None].astype(dt)
     instf = jnp.where(power == 0.0, 0.0,
@@ -481,18 +521,46 @@ def _refine_chunk(y, cand, pos, geo):
 
 @functools.partial(jax.jit, static_argnames=("geo", "chunk"))
 def refine_stage(y, cand, tpos, *, geo, chunk=16):
-    """Stage D over all frames in memory-bounded chunks."""
+    """Stage D over all frames in memory-bounded chunks.
+
+    Active-slot compaction: only ~20 of the S=7*Cb candidate slots per frame
+    are nonzero (observed max ~37 of 126); sorting active slots first and
+    refining the leading S//2 halves the window/matmul work exactly —
+    refinement of a zero slot is the identity (0, 0)."""
     F, S = cand.shape
+    cap = min(S, max(32, S // 2))
+    rows = jnp.arange(F)[:, None]
+    cols = jnp.broadcast_to(jnp.arange(S)[None, :], (F, S))
+    active = cand > 0.0
+    rank = jnp.cumsum(active, axis=1) - 1              # rank among active
+    nrank = cols - jnp.cumsum(active, axis=1)          # rank among inactive
+    # unique scatter slots: active -> rank (< S), inactive -> S + nrank
+    # (disjoint regions, unique within each; only [:cap] is consumed)
+    slot = jnp.where(active, rank, S + nrank)
+    sel_wide = jnp.zeros((F, 2 * S), jnp.int32).at[rows, slot].set(
+        cols, unique_indices=True)
+    sel = sel_wide[:, :cap]
+    n_active = jnp.sum(active, axis=1, keepdims=True)
+    valid = jnp.arange(cap)[None, :] < jnp.minimum(n_active, cap)
+    cand_c = jnp.where(valid, jnp.take_along_axis(cand, sel, axis=1), 0.0)
+
     pad = (-F) % chunk
-    cand_p = jnp.pad(cand, ((0, pad), (0, 0)))
+    cand_p = jnp.pad(cand_c, ((0, pad), (0, 0)))
     tpos_p = jnp.pad(tpos, (0, pad))
-    cc = cand_p.reshape(-1, chunk, S)
+    cc = cand_p.reshape(-1, chunk, cap)
     tt = tpos_p.reshape(-1, chunk)
     ref, sc = jax.lax.map(
         lambda args: _refine_chunk(y, args[0], args[1], geo), (cc, tt))
-    ref = ref.reshape(-1, S)[:F]
-    sc = sc.reshape(-1, S)[:F]
-    return ref, sc
+    ref = ref.reshape(-1, cap)[:F]
+    sc = sc.reshape(-1, cap)[:F]
+
+    # scatter back; invalid lanes all target sel=0 with value -1 -> .max
+    # keeps the true refined value (refined values are >= 0)
+    ref_full = jnp.zeros((F, S), cand.dtype).at[rows, sel].max(
+        jnp.where(valid, ref, -1.0))
+    sc_full = jnp.zeros((F, S), cand.dtype).at[rows, sel].max(
+        jnp.where(valid, sc, -1.0))
+    return jnp.maximum(ref_full, 0.0), jnp.maximum(sc_full, 0.0)
 
 
 # ---------------------------------------------------------------------------

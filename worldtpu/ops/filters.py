@@ -71,16 +71,72 @@ def nuttall_window_ragged(length, max_length, dtype=jnp.float64):
 
 
 def _affine_combine(a, b):
-    """Compose affine maps s -> A s + c; b is applied after a."""
+    """Compose affine maps s -> A s + c; b is applied after a.
+
+    The 4x4/3x3 matrix products are written as broadcast-multiply +
+    reductions: batched tiny dot_generals map terribly onto the 128x128 MXU
+    (observed ~10x slower than the equivalent VPU elementwise form)."""
     a_mat, a_vec = a
     b_mat, b_vec = b
-    return (b_mat @ a_mat if a_mat.ndim == 2 else jnp.einsum(
-        "...ij,...jk->...ik", b_mat, a_mat),
-        jnp.einsum("...ij,...j->...i", b_mat, a_vec) + b_vec)
+    mat = jnp.sum(b_mat[..., :, :, None] * a_mat[..., None, :, :], axis=-2)
+    vec = jnp.sum(b_mat * a_vec[..., None, :], axis=-1) + b_vec
+    return mat, vec
 
 
-def iir_affine_scan(x, a_coeffs, b_coeffs):
-    """Run the reference's direct-form-II IIR over time with associative scan.
+import functools as _functools
+
+
+@_functools.lru_cache(maxsize=64)
+def _iir_boundary_table(a_coeffs, b_coeffs, block, nb):
+    """[nb*4, nb*4] strictly-block-lower-triangular operator mapping block
+    inputs c to block-start states: s_k = sum_{j<k} M^(k-1-j) c_j."""
+    import numpy as _np
+    _, _, _, M = _iir_block_tables(a_coeffs, b_coeffs, block)
+    Mp = _np.empty((nb, 4, 4))
+    Mp[0] = _np.eye(4)
+    for d in range(1, nb):
+        Mp[d] = Mp[d - 1] @ M
+    P = _np.zeros((nb, nb, 4, 4))
+    for k in range(1, nb):
+        for j in range(k):
+            P[k, j] = Mp[k - 1 - j]
+    return P.transpose(0, 2, 1, 3).reshape(nb * 4, nb * 4)
+
+
+@_functools.lru_cache(maxsize=32)
+def _iir_block_tables(a_coeffs, b_coeffs, block):
+    """Precompute (in float64 numpy) the blocked-recurrence tables for the
+    reference IIR: impulse response h[d] = r^T A^d e0, within-block input
+    weights, block transition M = A^block, and boundary read G[j] = r^T
+    A^(j+1)."""
+    import numpy as _np
+    a0, a1, a2 = a_coeffs
+    b0, b1 = b_coeffs
+    A = _np.array([[a0, a1, a2, 0.0],
+                   [1.0, 0.0, 0.0, 0.0],
+                   [0.0, 1.0, 0.0, 0.0],
+                   [0.0, 0.0, 1.0, 0.0]])
+    e0 = _np.array([1.0, 0.0, 0.0, 0.0])
+    r = _np.array([b0, b1, b1, b0])
+    L = block
+    Apow = _np.empty((L + 1, 4, 4))
+    Apow[0] = _np.eye(4)
+    for d in range(L):
+        Apow[d + 1] = Apow[d] @ A
+    h = _np.array([r @ Apow[d] @ e0 for d in range(L)])          # [L]
+    G = _np.array([r @ Apow[j + 1] for j in range(L)])           # [L, 4]
+    Wc = _np.array([Apow[L - 1 - j] @ e0 for j in range(L)])     # [L, 4]
+    M = Apow[L]
+    # lower-triangular Toeplitz of the impulse response: Hm[i, j] = h[j - i]
+    idx = _np.arange(L)
+    D = idx[None, :] - idx[:, None]
+    Hm = _np.where(D >= 0, h[_np.clip(D, 0, L - 1)], 0.0)        # [L, L]
+    return Hm, G, Wc, M
+
+
+def iir_affine_scan(x, a_coeffs, b_coeffs, block=256):
+    """Run the reference's direct-form-II IIR over time, exactly, as blocked
+    matmuls.
 
     The recurrence (FilterForDecimate,
     /root/reference/src/world_matlabfunctions.cpp:115-124)::
@@ -89,9 +145,12 @@ def iir_affine_scan(x, a_coeffs, b_coeffs):
         y[i] = b0*wt + b1*w0 + b1*w1 + b0*w2
         (w0, w1, w2) <- (wt, w0, w1)
 
-    is expressed on the 4-state vector s=(wt, w0, w1, w2) (post-update, with
-    the pre-update w2 kept as the 4th slot) so the output is a pure linear
-    read of the scanned state: y = (b0, b1, b1, b0) . s.
+    is a linear recurrence s' = A s + e0 x with constant A, so a length-L
+    block advances the state by s_{k+1} = A^L s_k + W_c x_block and emits
+    y_block = G s_k + H x_block with H the lower-triangular Toeplitz of the
+    impulse response — all dense MXU matmuls plus one tiny scan over block
+    boundaries.  (A log-depth associative scan of 4x4 affine maps is ~40x
+    slower on TPU: batched tiny matmuls can't tile the MXU.)
 
     Args:
         x: [T] input signal.
@@ -101,20 +160,29 @@ def iir_affine_scan(x, a_coeffs, b_coeffs):
     Returns:
         [T] filtered output.
     """
-    a0, a1, a2 = a_coeffs
-    b0, b1 = b_coeffs
     dt = x.dtype
-    step = jnp.array(
-        [[a0, a1, a2, 0.0],
-         [1.0, 0.0, 0.0, 0.0],
-         [0.0, 1.0, 0.0, 0.0],
-         [0.0, 0.0, 1.0, 0.0]], dtype=dt)
-    mats = jnp.broadcast_to(step, (x.shape[0], 4, 4))
-    vecs = x[:, None] * jnp.array([1.0, 0.0, 0.0, 0.0], dtype=dt)
-    out_mats, out_vecs = jax.lax.associative_scan(_affine_combine, (mats, vecs))
-    del out_mats
-    read = jnp.array([b0, b1, b1, b0], dtype=dt)
-    return out_vecs @ read
+    T = x.shape[0]
+    L = block
+    nb = -(-T // L)
+    Hm, G, Wc, M = _iir_block_tables(tuple(a_coeffs), tuple(b_coeffs), L)
+    Hm = jnp.asarray(Hm, dt)
+    G = jnp.asarray(G, dt)
+    Wc = jnp.asarray(Wc, dt)
+    M = jnp.asarray(M, dt)
+
+    xb = jnp.pad(x, (0, nb * L - T)).reshape(nb, L)
+    c = jnp.dot(xb, Wc, preferred_element_type=dt)          # [nb, 4]
+
+    # block-start states via one matvec against the precomputed power table
+    # (a lax.scan here costs ~0.5 ms/step in TPU while-loop overhead)
+    P = jnp.asarray(
+        _iir_boundary_table(tuple(a_coeffs), tuple(b_coeffs), L, nb), dt)
+    s0 = jnp.dot(P, c.reshape(-1),
+                 preferred_element_type=dt).reshape(nb, 4)
+
+    y = jnp.dot(s0, G.T, preferred_element_type=dt) \
+        + jnp.dot(xb, Hm, preferred_element_type=dt)
+    return y.reshape(-1)[:T]
 
 
 def biquad_zero_lag(x, a_coeffs, b_coeffs):

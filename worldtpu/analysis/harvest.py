@@ -138,11 +138,12 @@ class HarvestGeometry:
         self.max_fft_index = 2 + int(
             math.log(self.max_half_window * 2 + 1.0) / C.LOG2)
         self.refine_fft = 2 ** self.max_fft_index
-        # static event-count cap per (band, type): a band passed through a
-        # ~[0.5b, 1.5b] bandpass crosses zero ~b times/s per type; 3x margin
+        # static event-count cap per (band, type): the crossing rate of a
+        # [0.5b, 1.5b]-bandpassed signal is bounded by its top edge 1.5b;
+        # 1.8x margin over that
         dur = x_length / fs
         self.e_max = int(min(self.y_length // 2 + 2,
-                             dur * adj_ceil * 3.0 + 64))
+                             dur * adj_ceil * 1.8 + 64))
 
 
 # ---------------------------------------------------------------------------
@@ -188,18 +189,35 @@ def _zero_crossings(sig, n_eff, e_max, fs_a, tpos):
     L = sig.shape[0]
     i = jnp.arange(L - 1)
     mask = (sig[:-1] > 0.0) & (sig[1:] <= 0.0) & (i < n_eff - 1)
-    cum = jnp.cumsum(mask)
-    count = cum[-1]
+    fine = (i + 1).astype(sig.dtype) - sig[:-1] / (sig[1:] - sig[:-1])
 
-    e = i + 1
-    fine = e.astype(sig.dtype) - sig[:-1] / (sig[1:] - sig[:-1])
-    # compact events with UNIQUE scatter indices (duplicate dump slots force
-    # XLA into a serialized scatter): events go to their rank, non-events to
-    # distinct slots past e_max
-    slot = jnp.where(mask, jnp.minimum(cum - 1, e_max - 1),
-                     e_max + (i - cum))
-    dense = jnp.full((e_max + L,), jnp.inf, sig.dtype)
-    dense = dense.at[slot].set(fine, unique_indices=True)
+    if sig.dtype != jnp.float64:
+        # fold sample pairs before compacting: two adjacent positions can
+        # never both be events (s[i+1] <= 0 contradicts s[i+1] > 0), so the
+        # scatter (which XLA lowers via a sort over its update count) only
+        # needs half the updates
+        Lp = (L - 1) // 2
+        me, mo = mask[:2 * Lp:2], mask[1:2 * Lp:2]
+        mask_p = me | mo
+        fine_p = jnp.where(me, fine[:2 * Lp:2], fine[1:2 * Lp:2])
+        tail_mask = mask[2 * Lp:]
+        tail_fine = fine[2 * Lp:]
+        mask_c = jnp.concatenate([mask_p, tail_mask])
+        fine_c = jnp.concatenate([fine_p, tail_fine])
+    else:
+        mask_c = mask
+        fine_c = fine
+
+    m = jnp.arange(mask_c.shape[0])
+    cum = jnp.cumsum(mask_c)
+    count = cum[-1]
+    # unique scatter indices (duplicate dump slots force XLA into a
+    # serialized scatter): events go to their rank, non-events to distinct
+    # slots past e_max
+    slot = jnp.where(mask_c, jnp.minimum(cum - 1, e_max - 1),
+                     e_max + (m - cum))
+    dense = jnp.full((e_max + mask_c.shape[0],), jnp.inf, sig.dtype)
+    dense = dense.at[slot].set(fine_c, unique_indices=True)
 
     f_lo = dense[:e_max]
     f_hi = dense[1:e_max + 1]

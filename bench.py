@@ -63,23 +63,28 @@ def main():
 
     hk = HarvestKernel(fs, T, f0_floor=40.0, frame_period=frame_period)
     ck = CheapTrickKernel(fs)
-    mp = S.default_max_pulses(out_length, fs)
-    noise = S.make_noise(jax.random.PRNGKey(0), n_utts * mp,
-                         ck.fft_size, jnp.float32).reshape(n_utts, mp, -1)
     tpos = jnp.asarray((np.arange(F) * frame_period / 1000.0), jnp.float32)
     x_dev = jax.device_put(jnp.asarray(x))
     jax.block_until_ready(x_dev)
+    state = {"mp": None, "noise": None}
 
     def pipeline():
         f0s = np.zeros((n_utts, F), np.float32)
         for i, (f0, _) in enumerate(hk.compute_batch(x_dev)):
             f0s[i, :len(f0)] = f0
+        if state["mp"] is None:
+            # static pulse-axis bound from the actual contours (warmup only)
+            state["mp"] = max(S.estimate_max_pulses(
+                f0s[i], fs, ck.fft_size, out_length) for i in range(n_utts))
+            state["noise"] = S.make_noise(
+                jax.random.PRNGKey(0), n_utts * state["mp"], ck.fft_size,
+                jnp.float32).reshape(n_utts, state["mp"], -1)
         y, spec, ap = B.batch_copy_synthesis(
-            x_dev, jnp.asarray(f0s), tpos, noise,
+            x_dev, jnp.asarray(f0s), tpos, state["noise"],
             fs=fs, fft_size=ck.fft_size,
             max_half_window=ck.max_half_window,
             frame_period_s=frame_period / 1000.0,
-            out_length=out_length, max_pulses=mp, mesh=None)
+            out_length=out_length, max_pulses=state["mp"], mesh=None)
         jax.block_until_ready(y)
         return y
 

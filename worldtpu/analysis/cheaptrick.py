@@ -92,9 +92,8 @@ def cheaptrick_frames(x, f0, temporal_positions, *, fs, fft_size,
 
     # ---- linear smoothing, width 2*f0/3 (:126) ----
     max_b = int(2.0 * 1.2 * C.CEIL_F0 / 3.0 * fft_size / fs) + 2
-    power = jax.vmap(
-        lambda p, w: filters.linear_smoothing(p, w, fs, fft_size, max_b))(
-            power, cf0 * 2.0 / 3.0)
+    power = filters.linear_smoothing_frames(
+        power, cf0 * 2.0 / 3.0, fs, fft_size, max_b)
 
     # ---- infinitesimal noise floor (:220-228) ----
     if dt != jnp.float64:

@@ -144,18 +144,12 @@ def d4c_frames(x, f0, temporal_positions, *, fs, fft_size_out, threshold=0.85,
     sps = jax.vmap(
         lambda p, f: filters.dc_correction(p, f, fs, fft_d4c))(sps, f0d)
     max_b = int(1.2 * f0_ceil_bound * fft_d4c / fs) + 2
-    sps = jax.vmap(
-        lambda p, w_: filters.linear_smoothing(p, w_, fs, fft_d4c, max_b))(
-            sps, f0d)
+    sps = filters.linear_smoothing_frames(sps, f0d, fs, fft_d4c, max_b)
 
     # ---- static group delay (reference :440-460) ----
     sgd = static_centroid / sps
-    sgd = jax.vmap(
-        lambda p, w_: filters.linear_smoothing(p, w_, fs, fft_d4c, max_b))(
-            sgd, f0d / 2.0)
-    sgd_smooth = jax.vmap(
-        lambda p, w_: filters.linear_smoothing(p, w_, fs, fft_d4c, max_b))(
-            sgd, f0d)
+    sgd = filters.linear_smoothing_frames(sgd, f0d / 2.0, fs, fft_d4c, max_b)
+    sgd_smooth = filters.linear_smoothing_frames(sgd, f0d, fs, fft_d4c, max_b)
     sgd = sgd - sgd_smooth
 
     # ---- coarse aperiodicity per 3 kHz band (reference :466-503) ----

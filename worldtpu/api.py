@@ -137,14 +137,16 @@ class Synthesis:
         self.f0_ceil = f0_ceil
 
     def compute(self, f0, spectrogram, aperiodicity, out_length,
-                key=None, noise=None, dtype=jnp.float64):
+                key=None, noise=None, dtype=jnp.float64, max_pulses=None):
         """Returns y [out_length].
 
         Noise: pass a jax PRNG key (default key 0) or an explicit
         [max_pulses, fft_size] noise matrix (e.g. the xorshift parity
         stream)."""
         fp_s = self.frame_period / 1000.0
-        max_pulses = _syn.default_max_pulses(out_length, self.fs, self.f0_ceil)
+        if max_pulses is None:
+            max_pulses = _syn.estimate_max_pulses(
+                f0, self.fs, self.fft_size, out_length)
         if noise is None:
             if key is None:
                 key = jax.random.PRNGKey(0)

@@ -53,12 +53,11 @@ def minimum_phase(log_amplitude):
     """
     k = log_amplitude.shape[-1]
     n = 2 * (k - 1)
-    full = jnp.concatenate(
-        [log_amplitude, log_amplitude[..., -2:0:-1]], axis=-1)
-    cep = jnp.fft.ifft(full, axis=-1)
-    # fold: keep 0 and n/2, double 1..n/2-1, zero the rest
+    # the mirrored log spectrum is real and even, so its cepstrum is real:
+    # irfft(half) == ifft(mirror(half)), and after causal folding the
+    # spectrum is rfft(folded) — two REAL transforms instead of two complex
+    cep = jnp.fft.irfft(log_amplitude, n=n, axis=-1)
     scale = jnp.concatenate([
         jnp.ones((1,)), 2.0 * jnp.ones((n // 2 - 1,)),
-        jnp.ones((1,)), jnp.zeros((n // 2 - 1,))]).astype(cep.real.dtype)
-    mp = jnp.exp(jnp.fft.fft(cep * scale, axis=-1))
-    return mp[..., :k]
+        jnp.ones((1,)), jnp.zeros((n // 2 - 1,))]).astype(cep.dtype)
+    return jnp.exp(jnp.fft.rfft(cep * scale, axis=-1))

@@ -336,30 +336,89 @@ def linear_smoothing(power_spectrum, width, fs, fft_size, max_boundary):
 
         return (levels(pos_hi) - levels(pos_lo)) / width
 
-    # float32: the difference of two nearby prefix sums cancels
-    # catastrophically (and can go negative, poisoning downstream logs).
-    # Keep a compensated (TwoSum) cumsum and form the DIFFERENCE from the
-    # (hi, lo) pair — hi-hi cancellation is exact, lo carries the residual —
-    # with the interp slopes taken from the exact per-bin values.
-    def comb(a, bb):
-        s1, c1 = a
-        s2, c2 = bb
-        s = s1 + s2
-        bv = s - s1
-        e = (s1 - (s - bv)) + (s2 - bv)
-        return s, c1 + c2 + e
+    # float32 path is in linear_smoothing_batch (gather-free grouped conv);
+    # falling through here means a direct f32 call: delegate to the batch
+    # form for one row
+    return linear_smoothing_batch(
+        power_spectrum[None, :], jnp.asarray(width)[None], fs, fft_size,
+        max_boundary)[0]
 
-    hi, lo = jax.lax.associative_scan(comb, (vals, jnp.zeros_like(vals)))
 
-    def parts(pos):
-        base = pos.astype(jnp.int32)
-        frac = pos - base.astype(dt)
-        base_c = jnp.clip(base, 0, vals.shape[0] - 2)
-        step = jnp.take(vals, base_c + 1)  # exact cumsum delta
-        return base_c, frac, step
+def linear_smoothing_frames(power_spectra, widths, fs, fft_size,
+                            max_boundary):
+    """Batched LinearSmoothing over [N, K] frames with per-frame widths:
+    f64 -> literal per-row reference semantics (vmap), f32 -> the gather-free
+    grouped-conv formulation."""
+    if power_spectra.dtype == jnp.float64:
+        return jax.vmap(lambda p, w: linear_smoothing(
+            p, w, fs, fft_size, max_boundary))(power_spectra, widths)
+    return linear_smoothing_batch(power_spectra, widths, fs, fft_size,
+                                  max_boundary)
 
-    b_lo, f_lo, s_lo = parts(pos_lo)
-    b_hi, f_hi, s_hi = parts(pos_hi)
-    base_diff = ((jnp.take(hi, b_hi) - jnp.take(hi, b_lo))
-                 + (jnp.take(lo, b_hi) - jnp.take(lo, b_lo)))
-    return (base_diff + f_hi * s_hi - f_lo * s_lo) / width
+
+def linear_smoothing_batch(power_spectra, widths, fs, fft_size, max_boundary):
+    """Batched float32 LinearSmoothing, gather-free.
+
+    The interpolated integral difference is four taps of the (inclusive)
+    prefix sum at ROW-CONSTANT offsets: with integer boundary b and width-in-
+    bins u, base = int(i +- u/2 + b - 0.5) = i + B with B = int(b - 0.5 -+
+    u/2) and a row-constant fraction.  So the whole smoothing is one grouped
+    convolution of the mirrored prefix sum with a per-row 4-tap kernel.
+    Cancellation control: the prefix sum is taken over mean-removed values
+    (a random walk instead of a ramp); the removed constant contributes
+    exactly mean * u, independent of position.
+
+    Args:
+        power_spectra: [N, K].
+        widths: [N] smoothing widths in Hz.
+    Returns:
+        [N, K].
+    """
+    N, K = power_spectra.shape
+    half = K - 1
+    dt = power_spectra.dtype
+    mb = max_boundary
+    widths = jnp.asarray(widths, dt)
+    b = (widths * fft_size / fs).astype(jnp.int32) + 1          # [N]
+    u = widths * fft_size / fs                                  # [N], real
+
+    p = power_spectra
+    mirr = jnp.concatenate(
+        [p[:, 1:mb + 1][:, ::-1], p, p[:, half - mb:half][:, ::-1]],
+        axis=1) * (fs / fft_size)                               # [N, K+2mb]
+
+    bf = b.astype(dt)
+    B_lo = (bf - 0.5 - u / 2.0).astype(jnp.int32)
+    B_hi = (bf - 0.5 + u / 2.0).astype(jnp.int32)
+    f_lo = (bf - 0.5 - u / 2.0) - B_lo.astype(dt)
+    f_hi = (bf - 0.5 + u / 2.0) - B_hi.astype(dt)
+
+    # the row's b-mirrored prefix sum relates to the fixed mb-mirrored one
+    # by an index shift of delta = mb - b; any prefix origin cancels across
+    # the four taps (their weights sum to zero)
+    delta = mb - b
+    Wk = 2 * mb + 4
+    rows = jnp.arange(N)
+    kern = jnp.zeros((N, Wk), dt)
+    kern = kern.at[rows, jnp.clip(B_lo + delta, 0, Wk - 1)].add(-(1.0 - f_lo))
+    kern = kern.at[rows, jnp.clip(B_lo + delta + 1, 0, Wk - 1)].add(-f_lo)
+    kern = kern.at[rows, jnp.clip(B_hi + delta, 0, Wk - 1)].add(1.0 - f_hi)
+    kern = kern.at[rows, jnp.clip(B_hi + delta + 1, 0, Wk - 1)].add(f_hi)
+
+    # block-LOCAL prefix sums: a global f32 cumsum difference cancels
+    # catastrophically on high-dynamic-range spectra.  All taps for output i
+    # lie in [i, i+Wk), so overlapping 2Wk blocks with stride Wk contain
+    # every tap window, and differences of local prefixes are accurate.
+    L = K + 2 * mb
+    nblk = -(-(K + Wk) // Wk) + 1
+    padded = jnp.pad(mirr, ((0, 0), (0, nblk * Wk + Wk - L)))
+    vr = padded.reshape(N, nblk + 1, Wk)
+    blocks = jnp.concatenate([vr[:, :-1], vr[:, 1:]], axis=-1)  # [N,nblk,2Wk]
+    lcs = jnp.cumsum(blocks, axis=-1)
+
+    conv = jax.lax.conv_general_dilated(
+        lcs.transpose(1, 0, 2), kern[:, None, :], window_strides=(1,),
+        padding="VALID", dimension_numbers=("NCW", "OIW", "NCW"),
+        feature_group_count=N)                                  # [nblk,N,Wk+1]
+    out = conv[:, :, :Wk].transpose(1, 0, 2).reshape(N, nblk * Wk)[:, :K]
+    return out / widths[:, None]

@@ -199,6 +199,23 @@ def make_noise(key, max_pulses, fft_size, dtype=jnp.float32):
     return jax.random.normal(key, (max_pulses, fft_size), dtype=dtype)
 
 
+def estimate_max_pulses(f0, fs, fft_size, out_length, margin=1.15):
+    """Tight host-side pulse-count bound from a known F0 contour: the pulse
+    count equals the number of whole phase cycles, i.e. the integral of the
+    interpolated F0 (with the kDefaultF0 unvoiced rate), so size the static
+    pulse axis from that instead of the f0_ceil worst case.  Rounded up to a
+    multiple of 256 to bound retracing."""
+    import numpy as np
+    f0 = np.asarray(f0)
+    lowest = fs / fft_size + 1.0
+    fhat = np.where(f0 < lowest, C.DEFAULT_F0, f0)
+    dur = out_length / fs
+    cycles = float(np.mean(fhat)) * dur
+    est = int(cycles * margin) + 32
+    hard = default_max_pulses(out_length, fs)
+    return min(hard, -(-est // 256) * 256)
+
+
 def default_max_pulses(out_length, fs, f0_ceil=C.CEIL_F0):
     """Static pulse-count bound: the reference's out_length/(fs/max_f0)
     (:87-88) with max_f0 bounded by the Harvest ceiling (and the unvoiced

@@ -400,7 +400,8 @@ def candidates_stage(y, mean_y, tpos, *, geo):
         filt = jax.lax.conv_general_dilated(
             ypad[None, None, :], kern[:, None, :],
             window_strides=(1,), padding="VALID",
-            dimension_numbers=("NCW", "OIW", "NCW"))[0]  # [Nb, y_len]
+            dimension_numbers=("NCW", "OIW", "NCW"),
+            precision=jax.lax.Precision.HIGHEST)[0]  # [Nb, y_len]
         bounds = jnp.asarray(geo.boundary_f0, dt)
         raw = jax.vmap(
             lambda fi, b: _band_candidates(fi, b, geo, tpos))(filt, bounds)
@@ -501,10 +502,10 @@ def _refine_chunk(y, cand, pos, geo):
         ang = (2.0 * C.PI / geo.refine_fft) * jj * kk
         basis_c = jnp.cos(ang)
         basis_s = -jnp.sin(ang)
-        Sm_re_full = jnp.dot(main, basis_c, preferred_element_type=dt)
-        Sm_im_full = jnp.dot(main, basis_s, preferred_element_type=dt)
-        Sd_re_full = jnp.dot(diff, basis_c, preferred_element_type=dt)
-        Sd_im_full = jnp.dot(diff, basis_s, preferred_element_type=dt)
+        Sm_re_full = jnp.dot(main, basis_c, preferred_element_type=dt, precision=jax.lax.Precision.HIGHEST)
+        Sm_im_full = jnp.dot(main, basis_s, preferred_element_type=dt, precision=jax.lax.Precision.HIGHEST)
+        Sd_re_full = jnp.dot(diff, basis_c, preferred_element_type=dt, precision=jax.lax.Precision.HIGHEST)
+        Sd_im_full = jnp.dot(diff, basis_s, preferred_element_type=dt, precision=jax.lax.Precision.HIGHEST)
         # combine into the two needed quantities BEFORE the per-pair bin
         # gather (row-indexed gathers cost more than the matmuls here)
         power_full = Sm_re_full ** 2 + Sm_im_full ** 2

@@ -16,6 +16,8 @@ from __future__ import annotations
 import jax
 import jax.numpy as jnp
 
+_PREC = jax.lax.Precision.HIGHEST
+
 from worldtpu import constants as C
 
 # Decimation anti-alias filter coefficients, indexed by ratio r=2..12.
@@ -171,17 +173,17 @@ def iir_affine_scan(x, a_coeffs, b_coeffs, block=256):
     M = jnp.asarray(M, dt)
 
     xb = jnp.pad(x, (0, nb * L - T)).reshape(nb, L)
-    c = jnp.dot(xb, Wc, preferred_element_type=dt)          # [nb, 4]
+    c = jnp.dot(xb, Wc, preferred_element_type=dt, precision=_PREC)          # [nb, 4]
 
     # block-start states via one matvec against the precomputed power table
     # (a lax.scan here costs ~0.5 ms/step in TPU while-loop overhead)
     P = jnp.asarray(
         _iir_boundary_table(tuple(a_coeffs), tuple(b_coeffs), L, nb), dt)
-    s0 = jnp.dot(P, c.reshape(-1),
-                 preferred_element_type=dt).reshape(nb, 4)
+    s0 = jnp.dot(P, c.reshape(-1), preferred_element_type=dt,
+                 precision=_PREC).reshape(nb, 4)
 
-    y = jnp.dot(s0, G.T, preferred_element_type=dt) \
-        + jnp.dot(xb, Hm, preferred_element_type=dt)
+    y = jnp.dot(s0, G.T, preferred_element_type=dt, precision=_PREC) \
+        + jnp.dot(xb, Hm, preferred_element_type=dt, precision=_PREC)
     return y.reshape(-1)[:T]
 
 
@@ -419,6 +421,6 @@ def linear_smoothing_batch(power_spectra, widths, fs, fft_size, max_boundary):
     conv = jax.lax.conv_general_dilated(
         lcs.transpose(1, 0, 2), kern[:, None, :], window_strides=(1,),
         padding="VALID", dimension_numbers=("NCW", "OIW", "NCW"),
-        feature_group_count=N)                                  # [nblk,N,Wk+1]
+        feature_group_count=N, precision=_PREC)                                  # [nblk,N,Wk+1]
     out = conv[:, :, :Wk].transpose(1, 0, 2).reshape(N, nblk * Wk)[:, :K]
     return out / widths[:, None]

@@ -70,7 +70,8 @@ def main():
 
     def pipeline():
         f0s = np.zeros((n_utts, F), np.float32)
-        for i, (f0, _) in enumerate(hk.compute_batch(x_dev)):
+        for i, (f0, _) in enumerate(hk.compute_batch(
+                x_dev, transfer_dtype=jnp.float16)):
             f0s[i, :len(f0)] = f0
         if state["mp"] is None:
             # static pulse-axis bound from the actual contours (warmup only)

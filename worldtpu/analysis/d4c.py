@@ -46,17 +46,31 @@ def number_of_aperiodicities(fs: int) -> int:
 
 
 def _windowed_waveform(x, f0, position, fs, window_type, ratio, max_half,
-                       dtype):
+                       dtype, frame_seg=None, seg_origin=None, seg_pad=0):
     """D4C::getWindowedWaveform (:246-303), left-aligned and padded to
-    2*max_half+1 columns.  Returns [F, W] masked windowed waveform."""
+    2*max_half+1 columns.  Returns [F, W] masked windowed waveform.
+
+    When frame_seg [F, 2*(max_half+seg_pad)+1] (a shared per-frame waveform
+    neighborhood gathered once around seg_origin) is given, the window is
+    read from it by a shifted in-segment index instead of a fresh [F, W]
+    gather from x — the gathers dominate D4C's device time otherwise."""
     half = _matlab_round(ratio * fs / f0 / 2.0)            # [F]
     W = 2 * max_half + 1
     j = jnp.arange(W, dtype=jnp.int32)
     base = j - half[:, None]                                # base_index, masked
     in_win = j[None, :] <= 2 * half[:, None]
     origin = _matlab_round(position * fs + 0.001)
-    safe = jnp.clip(origin[:, None] + base, 0, x.shape[0] - 1)
-    seg = x[safe]
+    if frame_seg is None:
+        safe = jnp.clip(origin[:, None] + base, 0, x.shape[0] - 1)
+        seg = x[safe]
+    else:
+        # x index = origin + base; segment covers
+        # seg_origin - (max_half+seg_pad) .. + (max_half+seg_pad), and the
+        # segment was gathered with the same clip
+        off = origin - seg_origin + max_half + seg_pad
+        idx = jnp.clip(off[:, None] + base, 0,
+                       frame_seg.shape[1] - 1)
+        seg = jnp.take_along_axis(frame_seg, idx, axis=1)
 
     pos = (2.0 / ratio / fs) * base.astype(dtype)
     pf = C.PI * f0[:, None] * pos
@@ -99,11 +113,30 @@ def d4c_frames(x, f0, temporal_positions, *, fs, fft_size_out, threshold=0.85,
     Kd = fft_d4c // 2 + 1
     Ko = fft_size_out // 2 + 1
 
+    # shared per-frame waveform neighborhood: every window below reads from
+    # this single gather instead of four separate [F, W] gathers
+    max_half_lt = int(1.5 * fs / 40.0 + 0.5)
+    max_half_c = int(2.0 * fs / C.FLOOR_F0_D4C + 0.5)
+    seg_half = max(max_half_lt, max_half_c)
+    seg_pad = int(0.25 * fs / C.FLOOR_F0_D4C) + 2
+    seg_origin = _matlab_round(pos * fs + 0.001)
+    seg_idx = jnp.clip(
+        seg_origin[:, None]
+        + (jnp.arange(2 * (seg_half + seg_pad) + 1) - seg_half - seg_pad),
+        0, x.shape[0] - 1)
+    frame_seg = x[seg_idx]
+
+    def seg_for(max_half):
+        # re-center the shared segment on each window's max_half
+        d = seg_half - max_half
+        return frame_seg[:, d:frame_seg.shape[1] - d], seg_pad
+
     # ---- LoveTrain (reference :181-240) ----
     f0lt = jnp.maximum(f0, 40.0)
-    max_half_lt = int(1.5 * fs / 40.0 + 0.5)
+    fseg_lt, pad_lt = seg_for(max_half_lt)
     wave_lt = _windowed_waveform(x, f0lt, pos, fs, C.BLACKMAN, 3.0,
-                                 max_half_lt, dt)
+                                 max_half_lt, dt, frame_seg=fseg_lt,
+                                 seg_origin=seg_origin, seg_pad=pad_lt)
     spec_lt = jnp.fft.rfft(wave_lt, n=fft_lt, axis=-1)
     ps_lt = (spec_lt.real ** 2 + spec_lt.imag ** 2).astype(dt)
     b0 = int(math.ceil(100.0 * fft_lt / fs))
@@ -118,11 +151,13 @@ def d4c_frames(x, f0, temporal_positions, *, fs, fft_size_out, threshold=0.85,
     f0d = jnp.maximum(C.FLOOR_F0_D4C, f0)
 
     # ---- static centroid (reference :339-405) ----
-    max_half_c = int(2.0 * fs / C.FLOOR_F0_D4C + 0.5)
     ramp_w = 2 * max_half_c + 1
+    fseg_c, pad_c = seg_for(max_half_c)
 
     def centroid(at):
-        w = _windowed_waveform(x, f0d, at, fs, C.BLACKMAN, 4.0, max_half_c, dt)
+        w = _windowed_waveform(x, f0d, at, fs, C.BLACKMAN, 4.0, max_half_c,
+                               dt, frame_seg=fseg_c, seg_origin=seg_origin,
+                               seg_pad=pad_c)
         power = jnp.sqrt(jnp.sum(w * w, -1, keepdims=True))
         w = w / power
         s1 = jnp.fft.rfft(w, n=fft_d4c, axis=-1)
@@ -138,7 +173,8 @@ def d4c_frames(x, f0, temporal_positions, *, fs, fft_size_out, threshold=0.85,
 
     # ---- smoothed power spectrum (reference :411-434) ----
     wave_h = _windowed_waveform(x, f0d, pos, fs, C.HANNING, 4.0,
-                                max_half_c, dt)
+                                max_half_c, dt, frame_seg=fseg_c,
+                                seg_origin=seg_origin, seg_pad=pad_c)
     spec_h = jnp.fft.rfft(wave_h, n=fft_d4c, axis=-1)
     sps = (spec_h.real ** 2 + spec_h.imag ** 2).astype(dt)
     sps = jax.vmap(

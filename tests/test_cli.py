@@ -1,0 +1,38 @@
+"""CLI surface tests: analyze -> parameter files -> synthesize round trip."""
+
+import pathlib
+import subprocess
+import sys
+
+import numpy as np
+
+FIXTURES = pathlib.Path(__file__).parent / "fixtures"
+REPO = pathlib.Path(__file__).parent.parent
+
+
+def _run(args):
+    return subprocess.run(
+        [sys.executable, "-m", "worldtpu.cli"] + args,
+        cwd=REPO, capture_output=True, text=True, timeout=600,
+        env={"PATH": "/usr/bin:/bin:/usr/local/bin",
+             "JAX_PLATFORMS": "cpu", "HOME": "/root",
+             "PYTHONPATH": str(REPO)})
+
+
+def test_cli_analyze_synthesize_roundtrip(tmp_path):
+    pre = str(tmp_path / "p")
+    r = _run(["analyze", str(FIXTURES / "t22.wav"), pre, "--f32",
+              "--platform", "cpu"])
+    assert r.returncode == 0, r.stderr[-2000:]
+    for ext in (".f0", ".spec", ".ap"):
+        assert (tmp_path / ("p" + ext)).exists()
+
+    out = str(tmp_path / "out.wav")
+    r = _run(["synthesize", pre, out, "--f32", "--platform", "cpu",
+              "--f0-scale", "1.2"])
+    assert r.returncode == 0, r.stderr[-2000:]
+    from worldtpu.io import wav
+    y, fs, _ = wav.wavread(out)
+    assert fs == 22050
+    assert np.isfinite(y).all()
+    assert 0.01 < np.sqrt(np.mean(y ** 2)) < 1.0

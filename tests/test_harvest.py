@@ -169,6 +169,17 @@ def test_harvest_batch_matches_single():
     outs = kern.compute_batch(np.tile(f.x, (3, 1)))
     for f0_b, tpos_b in outs:
         np.testing.assert_allclose(f0_b, f0_single, rtol=0, atol=0)
+    # pipelined corpus API yields the same results
+    corpus = [np.tile(f.x, (2, 1)), np.tile(f.x, (2, 1))]
+    got = list(kern.compute_corpus(corpus))
+    assert len(got) == 4
+    for f0_b, _ in got:
+        np.testing.assert_allclose(f0_b, f0_single, rtol=0, atol=0)
+    # f16-transfer variant stays within the accuracy budget
+    (f0_h, _), = kern.compute_batch(f.x[None, :], transfer_dtype=jnp.float16)
+    both = (f0_h > 0) & (f0_single > 0)
+    assert np.mean((f0_h > 0) == (f0_single > 0)) > 0.99
+    assert np.sqrt(np.mean((f0_h[both] - f0_single[both]) ** 2)) < 0.2
 
 
 @pytest.mark.parametrize("name", ["t22", "t16", "t48"])

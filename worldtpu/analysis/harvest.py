@@ -716,3 +716,30 @@ class HarvestKernel:
         n = 2 * g.f0_length * g.max_candidates
         return [self._finish(flat[i * n:(i + 1) * n])
                 for i in range(x_batch.shape[0])]
+
+    def compute_corpus(self, batches, dtype=jnp.float32, chunk=32,
+                       transfer_dtype=None):
+        """Pipelined Harvest over an iterable of [B, T] batches: batch k+1's
+        device stages are dispatched (async) before batch k's download and
+        host contour run, overlapping host work with device compute."""
+        g = self.geo
+        n = 2 * g.f0_length * g.max_candidates
+        pending = None
+        for xb in batches:
+            xb = jnp.asarray(xb, dtype)
+            mean = jnp.zeros((xb.shape[0],), dtype)
+            out = harvest_device_stages_batch(xb, mean, g, chunk)
+            if transfer_dtype is not None:
+                out = jnp.clip(
+                    out, 0.0, float(jnp.finfo(transfer_dtype).max)
+                ).astype(transfer_dtype)
+            out = jnp.ravel(out)
+            if pending is not None:
+                flat = np.asarray(pending).astype(np.float64)
+                for i in range(flat.shape[0] // n):
+                    yield self._finish(flat[i * n:(i + 1) * n])
+            pending = out
+        if pending is not None:
+            flat = np.asarray(pending).astype(np.float64)
+            for i in range(flat.shape[0] // n):
+                yield self._finish(flat[i * n:(i + 1) * n])

@@ -37,6 +37,27 @@ def test_fftshift():
                                   [3, 4, 5, 0, 1, 2])
 
 
+def test_diff():
+    from worldtpu.ops.misc import diff
+    np.testing.assert_array_equal(
+        np.asarray(diff(jnp.asarray([1.0, 4.0, 2.0]))), [3.0, -2.0])
+
+
+def test_get_audio_length():
+    from worldtpu.io.wav import get_audio_length, wavread
+    n = get_audio_length(FIXTURES / "t22.wav")
+    x, _, _ = wavread(FIXTURES / "t22.wav")
+    assert n == len(x)
+
+
+def test_write_f0_text(tmp_path):
+    p = tmp_path / "f0.txt"
+    params.write_f0(p, np.array([100.0, 0.0]), 5.0, text=True)
+    lines = p.read_bytes().split(b"\r\n")
+    assert lines[0] == b"0.00000 100.00000"
+    assert lines[1] == b"0.00500 0.00000"
+
+
 def test_get_header_information():
     assert params.get_header_information(
         FIXTURES / "t16.spec.gz", "FFT ") == 1024.0

@@ -23,8 +23,17 @@ def _open_read(path):
     return open(path, "rb")
 
 
-def write_f0(path, f0, frame_period):
+def write_f0(path, f0, frame_period, temporal_positions=None, text=False):
+    """Binary (default) or text F0 file (reference WriteF0 text_flag,
+    tools/parameterio.cpp:60-88)."""
     f0 = np.ascontiguousarray(f0, dtype="<f8")
+    if text:
+        if temporal_positions is None:
+            temporal_positions = np.arange(len(f0)) * frame_period / 1000.0
+        with open(path, "w") as f:
+            for t, v in zip(temporal_positions, f0):
+                f.write(f"{t:.5f} {v:.5f}\r\n")
+        return
     with open(path, "wb") as f:
         f.write(b"F0  ")
         f.write(b"NOF " + struct.pack("<i", len(f0)))

@@ -55,6 +55,26 @@ def wavread(path):
     raise ValueError(f"{path}: no data chunk")
 
 
+def get_audio_length(path):
+    """Sample count of a wav file without reading the data
+    (reference GetAudioLength, tools/audioio.cpp:173-216)."""
+    with open(path, "rb") as f:
+        data = f.read(65536)
+    if data[:4] != b"RIFF" or data[8:12] != b"WAVE":
+        return -1
+    pos = 12
+    nbit = None
+    while pos + 8 <= len(data):
+        tag = data[pos:pos + 4]
+        size = struct.unpack("<I", data[pos + 4:pos + 8])[0]
+        if tag == b"fmt ":
+            nbit = struct.unpack("<H", data[pos + 22:pos + 24])[0]
+        elif tag == b"data":
+            return size // (nbit // 8)
+        pos += 8 + size + (size & 1)
+    return -1
+
+
 def wavwrite(path, x, fs, nbit=16):
     """Write a mono 16-bit PCM wav (reference wavwrite semantics)."""
     if nbit != 16:

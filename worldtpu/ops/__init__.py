@@ -8,6 +8,14 @@ from worldtpu.ops.filters import (  # noqa: F401
     dc_correction,
     linear_smoothing,
 )
+from worldtpu.ops.misc import (  # noqa: F401
+    fast_fftfilt,
+    matlab_std,
+    matlab_round,
+    fftshift,
+    histc,
+    diff,
+)
 from worldtpu.ops.fftutil import (  # noqa: F401
     get_suitable_fft_size,
     fft_size_for_cheaptrick,

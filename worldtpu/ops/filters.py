@@ -7,8 +7,9 @@ LinearSmoothing, NuttallWindow) and
 hard-coded per-ratio IIR table).
 
 TPU notes: the reference runs its IIR filters as sequential time loops; here
-they are O(log T) `jax.lax.associative_scan` compositions of affine state
-maps, which XLA parallelizes across the vector unit instead of serializing.
+the decimation IIR is exact blocked linear-recurrence matmuls (impulse
+response Toeplitz + block-boundary power tables on the MXU), and the F0
+smoothing biquad is an associative scan of affine state maps.
 """
 
 from __future__ import annotations

@@ -48,6 +48,12 @@ def fftshift(x):
     return jnp.roll(x, n // 2, axis=-1)
 
 
+def diff(x):
+    """First difference, length N-1 (reference diff :216-218)."""
+    x = jnp.asarray(x)
+    return x[..., 1:] - x[..., :-1]
+
+
 def histc(x, edges):
     """MATLAB histc bin indices (1-based segment count like the reference's
     helper, /root/reference/src/world_matlabfunctions.cpp:136-155)."""

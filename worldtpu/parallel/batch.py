@@ -30,13 +30,26 @@ from worldtpu.analysis.d4c import d4c_frames
 from worldtpu.synthesis import synthesis as _syn
 
 
+class MeshConfigError(ValueError):
+    """Requested mesh shape does not match the available devices."""
+
+
 def make_mesh(n_data=None, n_time=1, devices=None):
-    """Build a ('data', 'time') mesh over the available devices."""
+    """Build a ('data', 'time') mesh over the available devices.
+
+    If the requested n_data*n_time factorization doesn't cover the device
+    list, degrades to a dp-only mesh over all devices (n_time=1) rather
+    than failing — frame-axis sharding is an optimization, data
+    parallelism is the contract."""
     devices = devices if devices is not None else jax.devices()
     n = len(devices)
+    if n == 0:
+        raise MeshConfigError("no devices available for mesh construction")
     if n_data is None:
-        n_data = n // n_time
-    assert n_data * n_time == n, (n_data, n_time, n)
+        n_data = n // max(n_time, 1)
+    if n_data * n_time != n:
+        # degrade: dp-only over everything we actually have
+        n_data, n_time = n, 1
     arr = np.asarray(devices).reshape(n_data, n_time)
     return Mesh(arr, ("data", "time"))
 

@@ -67,16 +67,15 @@ def fix_step2(f0_step1, voice_range_minimum=6):
 
 def _select_best_f0(reference_f0, candidates, allowed_range):
     """Reference selectBestF0 (:347-365): nearest candidate within
-    allowed_range; ties keep the LAST equal-error candidate."""
-    best_f0 = 0.0
-    best_error = allowed_range
+    allowed_range; ties keep the LAST equal-error candidate.  Vectorized:
+    the sequential loop accepts err[i] <= current best, so the final pick
+    is the last index attaining the overall minimum (if within range)."""
     err = np.abs(reference_f0 - candidates) / reference_f0
-    for i in range(len(candidates)):
-        if err[i] > best_error:
-            continue
-        best_f0 = candidates[i]
-        best_error = err[i]
-    return best_f0, best_error
+    m = err.min()
+    if m > allowed_range:
+        return 0.0, allowed_range
+    idx = len(err) - 1 - int(np.argmax(err[::-1] == m))
+    return candidates[idx], err[idx]
 
 
 def _extend_f0(ext, origin, last_point, shift, candidates, allowed_range):
@@ -143,14 +142,27 @@ def _search_score(f0, candidates, scores):
     return scores[m].max() if m.any() else 0.0
 
 
+def _search_score_range(f0s, candidates, scores):
+    """Per-frame searchScore over a range, vectorized (exact per element)."""
+    m = candidates == f0s[:, None]
+    any_ = m.any(axis=1)
+    vals = np.where(m, scores, -np.inf).max(axis=1)
+    return np.where(any_, vals, 0.0)
+
+
 def _merge_f0_sub(merged, st1, ed1, f0_2, st2, ed2, candidates, scores):
     """Reference mergeF0Sub (:475-497)."""
     if st1 <= st2 and ed1 >= ed2:
         return ed1
+    r = slice(st2, ed1 + 1)
+    s1 = _search_score_range(merged[r], candidates[r], scores[r])
+    s2 = _search_score_range(f0_2[r], candidates[r], scores[r])
+    # accumulate left-to-right like the reference's sequential += (pairwise
+    # np.sum would round differently and can flip the tie comparison)
     score1 = score2 = 0.0
-    for i in range(st2, ed1 + 1):
-        score1 += _search_score(merged[i], candidates[i], scores[i])
-        score2 += _search_score(f0_2[i], candidates[i], scores[i])
+    for a, b_ in zip(s1, s2):
+        score1 += a
+        score2 += b_
     if score1 > score2:
         merged[ed1:ed2 + 1] = f0_2[ed1:ed2 + 1]
     else:
@@ -223,11 +235,19 @@ _SMOOTH_A = (1.7347257688092754, -0.76600660094326412)
 
 
 def _filtering_f0(x, st, ed):
-    """Zero-lag biquad with edge-hold (reference filteringF0 :639-665)."""
+    """Zero-lag biquad with edge-hold (reference filteringF0 :639-665).
+
+    The recurrence is inherently sequential; the native C build runs it with
+    the exact same operation order (~300x faster than the Python loop)."""
     a, b = _SMOOTH_A, _SMOOTH_B
     x = x.copy()
     x[:st] = x[st]
     x[ed + 1:] = x[ed]
+
+    from worldtpu import native
+    out = native.filter_f0(x, b, a)
+    if out is not None:
+        return out
 
     def one_pass(sig):
         w0 = w1 = 0.0

@@ -369,8 +369,14 @@ def _overlap_candidates(base):
     return jnp.stack(layers, axis=1).reshape(F, 7 * cb)
 
 
-@functools.partial(jax.jit, static_argnames=("geo",))
-def candidates_stage(y, mean_y, tpos, *, geo):
+def _use_zc_kernel_default():
+    """The Pallas event kernel is the production path on TPU; the jnp
+    scatter path remains for CPU (tests) and as a fallback."""
+    return jax.default_backend() == "tpu"
+
+
+@functools.partial(jax.jit, static_argnames=("geo", "use_zc"))
+def candidates_stage(y, mean_y, tpos, *, geo, use_zc=None):
     """Stages B+C: decimated signal -> overlapped candidates [F, S]."""
     dt = y.dtype
     ym = y - mean_y
@@ -402,9 +408,17 @@ def candidates_stage(y, mean_y, tpos, *, geo):
             window_strides=(1,), padding="VALID",
             dimension_numbers=("NCW", "OIW", "NCW"),
             precision=jax.lax.Precision.HIGHEST)[0]  # [Nb, y_len]
-        bounds = jnp.asarray(geo.boundary_f0, dt)
-        raw = jax.vmap(
-            lambda fi, b: _band_candidates(fi, b, geo, tpos))(filt, bounds)
+        if use_zc is None:
+            use_zc = _use_zc_kernel_default()
+        if use_zc:
+            from worldtpu.ops import zc_kernel
+            raw = zc_kernel.band_candidates_pallas(
+                filt, geo, interpret=(use_zc == "interpret"))
+        else:
+            bounds = jnp.asarray(geo.boundary_f0, dt)
+            raw = jax.vmap(
+                lambda fi, b: _band_candidates(fi, b, geo, tpos))(
+                    filt, bounds)
     base = _detect_candidates(raw, geo)
     return _overlap_candidates(base), raw, base
 

@@ -30,7 +30,8 @@ def _build_and_load():
     try:
         if not so.exists() or so.stat().st_mtime < _SRC.stat().st_mtime:
             subprocess.run(
-                ["cc", "-O2", "-fPIC", "-shared", str(_SRC), "-o", str(so)],
+                ["cc", "-O2", "-ffp-contract=off", "-fPIC", "-shared",
+                 str(_SRC), "-o", str(so)],
                 check=True, capture_output=True)
         lib = ctypes.CDLL(str(so))
         lib.worldtpu_randn_init.argtypes = [ctypes.c_void_p]
@@ -38,6 +39,9 @@ def _build_and_load():
             ctypes.c_void_p, ctypes.c_void_p, ctypes.c_int64]
         lib.worldtpu_int_trunc_sum.argtypes = [ctypes.c_void_p, ctypes.c_int64]
         lib.worldtpu_int_trunc_sum.restype = ctypes.c_double
+        lib.worldtpu_filter_f0.argtypes = [
+            ctypes.c_void_p, ctypes.c_int64, ctypes.c_void_p, ctypes.c_void_p,
+            ctypes.c_double, ctypes.c_double, ctypes.c_double, ctypes.c_double]
         _LIB = lib
     except Exception:
         _LIB = None
@@ -84,6 +88,26 @@ class XorshiftRandn:
             out[i] = tmp / 268435456.0 - 6.0
         self._x, self._y, self._z, self._w = x, y, z, w
         return out
+
+
+def filter_f0(x, b, a):
+    """Two time-reversing biquad passes (zero-lag smoothing), exactly the
+    arithmetic of contour._filtering_f0's one_pass applied twice.  Returns
+    None if the native library is unavailable (caller falls back)."""
+    import numpy as np
+    lib = _build_and_load()
+    if lib is None:
+        return None
+    x = np.ascontiguousarray(x, dtype=np.float64)
+    tmp = np.empty_like(x)
+    out = np.empty_like(x)
+    lib.worldtpu_filter_f0(
+        x.ctypes.data_as(ctypes.c_void_p), x.shape[0],
+        tmp.ctypes.data_as(ctypes.c_void_p),
+        out.ctypes.data_as(ctypes.c_void_p),
+        ctypes.c_double(b[0]), ctypes.c_double(b[1]),
+        ctypes.c_double(a[0]), ctypes.c_double(a[1]))
+    return out
 
 
 def int_trunc_sum(x) -> float:

@@ -1,0 +1,261 @@
+"""Pallas TPU kernel: zero-crossing event extraction -> F0 candidate contour.
+
+Replaces the event-compaction scatter + location->frame scatter-add in the
+Harvest candidates stage (reference zeroCrossingEngine + interp1-to-frames,
+/root/reference/src/harvest.cpp:1179-1219,1098-1143).  XLA lowers those
+scatters through a sort of the full update count (~8.9M elements for a 3 s
+utterance, ~211 ms); this kernel computes the same result with no scatter:
+
+  per band (one grid cell):
+    1. negative-going crossing masks + sub-sample positions ("fines") for
+       the four signal variants (f, -f, diff f, -diff f), in a [128, Stot]
+       lane-major layout (sample i at sublane i%128, lane i//128)
+    2. per-128-sample-column event compaction: lane-column ranks via one
+       triangular-matrix matmul (MXU), then a static k-loop selecting the
+       k-th event of every column at once (VPU reduction, no scatter)
+    3. columns are written into a sorted per-type event buffer at their
+       running offsets (dynamic-sublane-offset stores, the only sequential
+       part, one store per nonempty column)
+    4. locations (midpoints of consecutive events) and intervals, then
+       interpolation onto the 1 ms frame grid as a merge-sweep: frame tiles
+       of 128 with a carried window base into the sorted event list (both
+       are sorted, so a bounded window suffices; the window bound comes
+       from the same crossing-rate model that sizes e_max)
+
+Bands are processed in groups (by boundary frequency octave) so the event
+capacity, per-column capacity, and sweep window scale with each group's
+maximum crossing rate.
+
+Numerics match the jnp production path (worldtpu/analysis/harvest.py
+_zero_crossings/_band_candidates) operation-for-operation, so results agree
+to f32 rounding; tests compare against that path directly.
+"""
+
+from __future__ import annotations
+
+import functools
+import math
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from worldtpu import constants as C
+
+
+def _round_up(x, m):
+    return ((x + m - 1) // m) * m
+
+
+class _GroupGeom:
+    """Static geometry for one band group (contiguous band range)."""
+
+    def __init__(self, geo, lo, hi):
+        self.lo = lo
+        self.hi = hi
+        self.n_bands = hi - lo
+        bound_top = float(geo.boundary_f0[hi - 1])
+        dur = geo.x_length / geo.fs
+        # crossing-rate model (same 1.8 margin as HarvestGeometry.e_max)
+        self.e_cap = int(min(geo.y_length // 2 + 2,
+                             dur * bound_top * 1.8 + 64))
+        # per-128-sample-column capacity: min spacing fs_a/(1.5*bound)
+        rate = 1.5 * bound_top / geo.actual_fs          # events per sample
+        self.c_row = _round_up(int(128.0 * rate) + 4, 8)
+        # merge-sweep window: locations per 128 ms frame tile + slack
+        self.win = _round_up(int(0.128 * bound_top * 1.8) + 64, 128)
+        self.e_cap = _round_up(max(self.e_cap, self.win + 16), 128)
+        self.win = min(self.win, self.e_cap - 8)
+
+
+def make_groups(geo, n_groups=5):
+    """Split the band axis into octave-ish groups with shared caps."""
+    nb = geo.n_channels
+    n_groups = max(1, min(n_groups, nb))
+    edges = np.linspace(0, nb, n_groups + 1).astype(int)
+    return tuple(_GroupGeom(geo, int(a), int(b))
+                 for a, b in zip(edges[:-1], edges[1:]) if b > a)
+
+
+def _zc_group_kernel(filt_ref, out_ref, colbuf, cnt_smem, *,
+                     y_length, stot, f_pad, e_cap, c_row, win, fs_a,
+                     n_frames_tiles):
+    """One band per grid cell.  filt_ref [1, 128, Stot], out [1, 8, Fpad]
+    (row 0 carries the result; the 8-row middle dim exists only to satisfy
+    Mosaic's (8, 128)-divisible block rule)."""
+    dt = jnp.float32
+    sT = filt_ref[0]                                     # [128, Stot]
+
+    # s_{i+1} in lane-major layout: shift down one sublane, last sublane
+    # takes the next column's first sublane
+    top = sT[0:1, :]                                     # [1, Stot]
+    top_next = jnp.concatenate(
+        [top[:, 1:], jnp.zeros((1, 1), dt)], axis=1)
+    snx = jnp.concatenate([sT[1:, :], top_next], axis=0)
+    g = snx - sT                                         # diff signal
+    gtop = g[0:1, :]
+    gtop_next = jnp.concatenate(
+        [gtop[:, 1:], jnp.zeros((1, 1), dt)], axis=1)
+    gnx = jnp.concatenate([g[1:, :], gtop_next], axis=0)
+
+    sub = jax.lax.broadcasted_iota(jnp.int32, (128, stot), 0)
+    lane = jax.lax.broadcasted_iota(jnp.int32, (128, stot), 1)
+    gi = sub + 128 * lane                                # global sample index
+
+    tri = (jax.lax.broadcasted_iota(jnp.int32, (128, 128), 0)
+           >= jax.lax.broadcasted_iota(jnp.int32, (128, 128), 1)
+           ).astype(dt)                                  # inclusive lower-tri
+
+    colbuf[...] = jnp.full((e_cap, 4), jnp.inf, dt)
+
+    types = ((sT, snx, y_length), (-sT, -snx, y_length),
+             (g, gnx, y_length - 1), (-g, -gnx, y_length - 1))
+    for t, (sig, signx, n_eff) in enumerate(types):
+        mask = (sig > 0.0) & (signx <= 0.0) & (gi < n_eff - 1)
+        fine = (gi + 1).astype(dt) - sig / (signx - sig)
+        mf = mask.astype(dt)
+        # per-column inclusive rank via MXU
+        lrank = jnp.dot(tri, mf, preferred_element_type=dt,
+                        precision=jax.lax.Precision.HIGHEST) - 1.0
+        # k-loop compaction: chunkT[k, s] = fine of the k-th event in col s
+        rows = []
+        for k in range(c_row):
+            sel = mask & (lrank == float(k))
+            rows.append(jnp.sum(jnp.where(sel, fine, 0.0), axis=0,
+                                keepdims=True))          # [1, Stot]
+        chunkT = jnp.concatenate(rows, axis=0)           # [c_row, Stot]
+
+        def store_col(s, carry):
+            # the chunk tile is carried and rotated left one lane per step,
+            # so column s is always read at static lane 0 (Mosaic has no
+            # dynamic-lane indexing)
+            off, tile = carry
+            col = tile[:, 0:1]
+            rc = jnp.sum((col > 0.0).astype(jnp.int32), dtype=jnp.int32)
+
+            @pl.when(rc > 0)
+            def _():
+                o = jnp.minimum(off, e_cap - c_row)
+                colbuf[pl.ds(o, c_row), t:t + 1] = jnp.where(
+                    col > 0.0, col, jnp.inf)
+
+            return off + rc, pltpu.roll(tile, stot - 1, axis=1)
+
+        cnt, _ = jax.lax.fori_loop(
+            0, stot, store_col, (jnp.int32(0), chunkT))
+        cnt_smem[t] = cnt
+
+    # ---- phase 2: locations/intervals + merge-sweep interpolation ----
+    out_ref[...] = jnp.zeros((1, 8, f_pad), dt)
+    usable = ((cnt_smem[0] - 1 > 2) & (cnt_smem[1] - 1 > 2)
+              & (cnt_smem[2] - 1 > 2) & (cnt_smem[3] - 1 > 2))
+
+    lane128 = jax.lax.broadcasted_iota(jnp.int32, (1, 128), 1)
+    subw = jax.lax.broadcasted_iota(jnp.int32, (win, 1), 0)
+
+    for t in range(4):
+        n_loc = jnp.minimum(cnt_smem[t] - 1, e_cap - 8)
+        seg_hi = jnp.maximum(n_loc - 1, 1)
+
+        def window(jb):
+            """locations/intervals for events [jb, jb+win+1)."""
+            colw = colbuf[pl.ds(jb, win + 8), t:t + 1]   # [win+8, 1]
+            locw = (colw[:win + 1] + colw[1:win + 2]) / 2.0 / fs_a
+            itvw = fs_a / (colw[1:win + 2] - colw[:win + 1])
+            return locw, itvw
+
+        def frame_tile(ft, jb):
+            fgrid = (128 * ft + lane128).astype(dt)
+            locw, _ = window(jb)
+            ffw = jnp.ceil(locw[:win] * 1000.0)
+            cmp = ffw <= fgrid                            # [win, 128]
+            nle = jb + jnp.sum(cmp.astype(jnp.int32), axis=0,
+                               keepdims=True, dtype=jnp.int32)            # [1, 128]
+            seg = jnp.clip(nle, 1, seg_hi)
+            d = seg - 1
+            # select window
+            dmin = jnp.min(d)
+            jb2 = jnp.clip((dmin // 8) * 8, 0, e_cap - win - 8)
+            locw2, itvw2 = window(jb2)
+            oh = (subw + jb2) == d                        # [win, 128]
+            x0 = jnp.sum(jnp.where(oh, locw2[:win], 0.0), axis=0,
+                         keepdims=True)
+            x1 = jnp.sum(jnp.where(oh, locw2[1:win + 1], 0.0), axis=0,
+                         keepdims=True)
+            y0 = jnp.sum(jnp.where(oh, itvw2[:win], 0.0), axis=0,
+                         keepdims=True)
+            y1 = jnp.sum(jnp.where(oh, itvw2[1:win + 1], 0.0), axis=0,
+                         keepdims=True)
+            tpos = fgrid / 1000.0
+            vals = y0 + (tpos - x0) / (x1 - x0) * (y1 - y0)  # [1, 128]
+            fo = pl.multiple_of(128 * ft, 128)
+            prev = out_ref[0, 0:1, pl.ds(fo, 128)]
+            out_ref[0, 0:1, pl.ds(fo, 128)] = prev + vals
+            # advance the window base
+            adv = jnp.sum(cmp[:, 127:128].astype(jnp.int32),
+                          dtype=jnp.int32)
+            jbn = jnp.maximum(jb + adv - 8, 0)
+            jbn = jnp.minimum(jbn, jnp.maximum(n_loc - 2, 0))
+            jbn = jnp.minimum((jbn // 8) * 8, e_cap - win - 8)
+            return jnp.maximum(jbn, 0)
+
+        jax.lax.fori_loop(0, n_frames_tiles, frame_tile, jnp.int32(0))
+
+    res = out_ref[0, 0:1, :] / 4.0
+    out_ref[0, 0:1, :] = jnp.where(usable, res, 0.0)
+
+
+def _zc_group_call(filt_T, *, y_length, stot, f_pad, e_cap, c_row, win,
+                   fs_a, interpret):
+    nb = filt_T.shape[0]
+    n_tiles = f_pad // 128
+    kern = functools.partial(
+        _zc_group_kernel, y_length=y_length, stot=stot, f_pad=f_pad,
+        e_cap=e_cap, c_row=c_row, win=win, fs_a=fs_a,
+        n_frames_tiles=n_tiles)
+    return pl.pallas_call(
+        kern,
+        grid=(nb,),
+        in_specs=[pl.BlockSpec((1, 128, stot), lambda i: (i, 0, 0),
+                               memory_space=pltpu.VMEM)],
+        out_specs=pl.BlockSpec((1, 8, f_pad), lambda i: (i, 0, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((nb, 8, f_pad), jnp.float32),
+        scratch_shapes=[
+            pltpu.VMEM((e_cap, 4), jnp.float32),
+            pltpu.SMEM((4,), jnp.int32),
+        ],
+        interpret=interpret,
+    )(filt_T)
+
+
+def band_candidates_pallas(filt, geo, *, interpret=False):
+    """Raw candidate contours [Nb, F] from band-filtered signals [Nb, L].
+
+    Drop-in replacement for vmap(_band_candidates) over the filter bank
+    output (production f32 path only)."""
+    nb, y_len = filt.shape
+    assert nb == geo.n_channels and y_len == geo.y_length
+    F = geo.f0_length
+    f_pad = _round_up(F, 128)
+    stot = _round_up(y_len, 128) // 128
+    pad = stot * 128 - y_len
+    filt_p = jnp.pad(filt.astype(jnp.float32), ((0, 0), (0, pad)))
+    # lane-major layout: sample i -> (sublane i%128, lane i//128)
+    filt_T = filt_p.reshape(nb, stot, 128).transpose(0, 2, 1)
+
+    outs = []
+    for g in make_groups(geo):
+        raw = _zc_group_call(
+            filt_T[g.lo:g.hi], y_length=y_len, stot=stot, f_pad=f_pad,
+            e_cap=g.e_cap, c_row=g.c_row, win=g.win,
+            fs_a=float(geo.actual_fs), interpret=interpret)
+        outs.append(raw[:, 0, :F])
+    cand = jnp.concatenate(outs, axis=0)                 # [Nb, F] means
+
+    bounds = jnp.asarray(geo.boundary_f0, jnp.float32)[:, None]
+    ok = ((cand <= bounds * 1.1) & (cand >= bounds * 0.9)
+          & (cand <= geo.f0_ceil) & (cand >= geo.f0_floor))
+    return jnp.where(ok, cand, 0.0)

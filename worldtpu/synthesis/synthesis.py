@@ -98,8 +98,15 @@ def _time_base(f0, fs, frame_period_s, out_length, lowest_f0, max_pulses):
     return idx, shift, n_pulses, vuv_at, valid
 
 
+def _use_ola_kernel_default():
+    """The Pallas overlap-add is the production path on TPU; the jnp
+    scatter remains for CPU (tests) and the f64 parity path."""
+    return jax.default_backend() == "tpu"
+
+
 def synthesis_frames_impl(f0, spectrogram, aperiodicity, noise, *, fs,
-                          fft_size, frame_period_s, out_length, max_pulses):
+                          fft_size, frame_period_s, out_length, max_pulses,
+                          use_ola=None):
     """Synthesize a waveform from (f0, spectrogram, aperiodicity).
 
     Args:
@@ -178,6 +185,12 @@ def synthesis_frames_impl(f0, spectrogram, aperiodicity, noise, *, fs,
     resp = (per * jnp.sqrt(ns.astype(dt))[:, None] + aper) / fft_size
     resp = jnp.where(valid[:, None], resp, 0.0)
 
+    if use_ola is None:
+        use_ola = dt != jnp.float64 and _use_ola_kernel_default()
+    if use_ola:
+        from worldtpu.ops.ola_kernel import overlap_add
+        return overlap_add(resp, idx - half + 1, out_length,
+                           interpret=(use_ola == "interpret"))
     target = (idx - half + 1)[:, None] + j[None, :]
     ok = (target >= 0) & (target < out_length) & valid[:, None]
     flat_t = jnp.where(ok, target, out_length).reshape(-1)
@@ -191,7 +204,8 @@ def synthesis_frames_impl(f0, spectrogram, aperiodicity, noise, *, fs,
 #: moving a pulse by one sample vs the sequential C++; use
 #: synthesis_frames_impl un-jitted for bitwise golden parity.
 synthesis_frames = functools.partial(jax.jit, static_argnames=(
-    "fs", "fft_size", "out_length", "max_pulses"))(synthesis_frames_impl)
+    "fs", "fft_size", "out_length", "max_pulses",
+    "use_ola"))(synthesis_frames_impl)
 
 
 def make_noise(key, max_pulses, fft_size, dtype=jnp.float32):

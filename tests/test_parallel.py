@@ -72,3 +72,76 @@ def test_data_only_mesh():
         max_half_window=kern.max_half_window, frame_period_s=0.005,
         out_length=out_length, max_pulses=mp, mesh=mesh)
     assert bool(jnp.all(jnp.isfinite(y)))
+
+
+def test_batch_harvest_sharded_matches_single():
+    """Sharded wav->candidates Harvest (band + frame axes over 'time',
+    utterances over 'data') == the single-device fused stages, bitwise."""
+    from worldtpu.analysis import harvest as H
+
+    f = load_fixture("t16")
+    fs = f.fs
+    T = len(f.x)
+    geo = H.HarvestGeometry(fs, T)
+    x = np.tile(np.asarray(f.x, np.float32), (4, 1))
+    # two distinct rows so dp sharding is actually exercised
+    x[1] *= 0.5
+    x[3] *= 0.25
+    mesh = B.make_mesh(n_data=4, n_time=2)
+
+    flat_sh = B.batch_harvest_device_stages(
+        jnp.asarray(x), geo=geo, mesh=mesh, chunk=16, use_zc=False)
+
+    flat_1 = H.harvest_device_stages_batch(
+        jnp.asarray(x), jnp.zeros((4,), jnp.float32), geo, 16)
+
+    np.testing.assert_array_equal(np.asarray(flat_sh), np.asarray(flat_1))
+
+
+def test_wav_to_wav_sharded():
+    """Full wav -> f0 (sharded Harvest + host contour) -> wav (sharded
+    copy-synthesis): the complete multi-chip pipeline."""
+    from worldtpu.analysis import harvest as H
+
+    f = load_fixture("t16")
+    fs = f.fs
+    T = len(f.x)
+    x = np.tile(np.asarray(f.x, np.float32), (4, 1))
+    mesh = B.make_mesh(n_data=4, n_time=2)
+
+    hk = H.HarvestKernel(fs, T)
+    geo = hk.geo
+    flat = np.asarray(B.batch_harvest_device_stages(
+        jnp.asarray(x), geo=geo, mesh=mesh, chunk=16,
+        use_zc=False)).astype(np.float64)
+    f0s = []
+    n_out = hk.get_samples()
+    for i in range(4):
+        f0_i, _ = hk._finish(flat[i])
+        f0s.append(f0_i)
+    f0 = np.stack(f0s)
+    assert f0.shape == (4, n_out)
+    # production f32 harvest should stay close to the f64 golden contour
+    v = f.f0 > 0
+    rmse = np.sqrt(np.mean((f0[0][v] - f.f0[v]) ** 2))
+    assert rmse < 1.0, rmse
+
+    kern = CheapTrickKernel(fs)
+    F = n_out + (-n_out) % 2
+    f0p = np.zeros((4, F), np.float32)
+    f0p[:, :n_out] = f0
+    tpos = np.arange(F) * 0.005
+    out_length = int((F - 1) * 0.005 * fs) + 1
+    mp = S.default_max_pulses(out_length, fs)
+    noise = S.make_noise(jax.random.PRNGKey(0), mp, kern.fft_size,
+                         jnp.float32)
+    noise = jnp.tile(noise[None], (4, 1, 1))
+    y, _, _ = B.batch_copy_synthesis(
+        jnp.asarray(x), jnp.asarray(f0p), jnp.asarray(tpos, jnp.float32),
+        noise, fs=fs, fft_size=kern.fft_size,
+        max_half_window=kern.max_half_window, frame_period_s=0.005,
+        out_length=out_length, max_pulses=mp, mesh=mesh)
+    y = np.asarray(y)
+    assert y.shape == (4, out_length)
+    assert np.all(np.isfinite(y))
+    assert np.sqrt(np.mean(y[0] ** 2)) > 0.05

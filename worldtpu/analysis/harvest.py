@@ -514,12 +514,17 @@ def _refine_chunk(y, cand, pos, geo):
         jj = jnp.arange(Wmax, dtype=dt)[:, None]
         kk = jnp.arange(K, dtype=dt)[None, :]
         ang = (2.0 * C.PI / geo.refine_fft) * jj * kk
-        basis_c = jnp.cos(ang)
-        basis_s = -jnp.sin(ang)
-        Sm_re_full = jnp.dot(main, basis_c, preferred_element_type=dt, precision=jax.lax.Precision.HIGHEST)
-        Sm_im_full = jnp.dot(main, basis_s, preferred_element_type=dt, precision=jax.lax.Precision.HIGHEST)
-        Sd_re_full = jnp.dot(diff, basis_c, preferred_element_type=dt, precision=jax.lax.Precision.HIGHEST)
-        Sd_im_full = jnp.dot(diff, basis_s, preferred_element_type=dt, precision=jax.lax.Precision.HIGHEST)
+        basis = jnp.concatenate([jnp.cos(ang), -jnp.sin(ang)], axis=1)
+        # one stacked [2P, W] @ [W, 2K] matmul; bf16x3 gives ~5e-5 relative
+        # accuracy (~0.01 Hz on instantaneous frequency) at half the cost
+        # of the 6-pass HIGHEST
+        S_all = jax.lax.dot_general(
+            jnp.concatenate([main, diff], axis=0), basis,
+            (((1,), (0,)), ((), ())),
+            precision=jax.lax.DotAlgorithmPreset.BF16_BF16_F32_X3,
+            preferred_element_type=dt)
+        Sm_re_full, Sm_im_full = S_all[:P, :K], S_all[:P, K:]
+        Sd_re_full, Sd_im_full = S_all[P:, :K], S_all[P:, K:]
         # combine into the two needed quantities BEFORE the per-pair bin
         # gather (row-indexed gathers cost more than the matmuls here)
         power_full = Sm_re_full ** 2 + Sm_im_full ** 2

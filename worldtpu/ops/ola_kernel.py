@@ -43,7 +43,7 @@ def _ola_kernel(starts_ref, resp_ref, out_ref, *, n_pulses, s_rows, rows):
     out_ref[...] = jnp.zeros((rows, 128), jnp.float32)
 
     def body(p, _):
-        st = starts_ref[p]
+        st = starts_ref[0, p]
         row0 = st // 128
         r = st % 128
         x = resp_ref[p]                                  # [S, 128]
@@ -83,5 +83,6 @@ def overlap_add(resp, starts, out_length, *, interpret=False):
         out_specs=pl.BlockSpec(memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((rows, 128), jnp.float32),
         interpret=interpret,
-    )(starts.astype(jnp.int32) + pad_lo, resp.reshape(P, s_rows, 128))
+    )(starts.astype(jnp.int32)[None, :] + pad_lo,
+      resp.reshape(P, s_rows, 128))
     return out.reshape(-1)[pad_lo:pad_lo + out_length]

@@ -50,13 +50,13 @@ def _round_up(x, m):
 
 
 class _GroupGeom:
-    """Static geometry for one band group (contiguous band range)."""
+    """Static geometry for one band group (contiguous row range whose
+    maximum boundary frequency is bound_top)."""
 
-    def __init__(self, geo, lo, hi):
+    def __init__(self, geo, lo, hi, bound_top):
         self.lo = lo
         self.hi = hi
         self.n_bands = hi - lo
-        bound_top = float(geo.boundary_f0[hi - 1])
         dur = geo.x_length / geo.fs
         # crossing-rate model (same 1.8 margin as HarvestGeometry.e_max)
         self.e_cap = int(min(geo.y_length // 2 + 2,
@@ -70,13 +70,24 @@ class _GroupGeom:
         self.win = min(self.win, self.e_cap - 8)
 
 
-def make_groups(geo, n_groups=5):
-    """Split the band axis into octave-ish groups with shared caps."""
-    nb = geo.n_channels
+def make_groups(geo, n_groups=5, stride=1):
+    """Split the band-row axis into octave-ish groups with shared caps.
+
+    With stride > 1 the rows are a strided subset bands[t::stride] of the
+    global band list (band-parallel sharding); caps then use the stride-max
+    boundary of each group's global range so every shard compiles the same
+    program."""
+    nb = -(-geo.n_channels // stride) if stride > 1 else geo.n_channels
     n_groups = max(1, min(n_groups, nb))
     edges = np.linspace(0, nb, n_groups + 1).astype(int)
-    return tuple(_GroupGeom(geo, int(a), int(b))
-                 for a, b in zip(edges[:-1], edges[1:]) if b > a)
+    out = []
+    for a, b in zip(edges[:-1], edges[1:]):
+        if b <= a:
+            continue
+        g_hi = min(int(b) * stride, geo.n_channels)
+        out.append(_GroupGeom(geo, int(a), int(b),
+                              float(geo.boundary_f0[g_hi - 1])))
+    return tuple(out)
 
 
 def _zc_group_kernel(filt_ref, out_ref, colbuf, cnt_smem, *,
@@ -231,13 +242,20 @@ def _zc_group_call(filt_T, *, y_length, stot, f_pad, e_cap, c_row, win,
     )(filt_T)
 
 
-def band_candidates_pallas(filt, geo, *, interpret=False):
-    """Raw candidate contours [Nb, F] from band-filtered signals [Nb, L].
+def band_candidates_pallas(filt, geo, *, bounds=None, groups=None,
+                           interpret=False):
+    """Raw candidate contours [nb, F] from band-filtered signals [nb, L].
 
     Drop-in replacement for vmap(_band_candidates) over the filter bank
-    output (production f32 path only)."""
+    output (production f32 path only).  bounds (array, default the full
+    geo.boundary_f0) and groups (static, default make_groups(geo)) are
+    overridable so a band-parallel shard can run its strided subset."""
     nb, y_len = filt.shape
-    assert nb == geo.n_channels and y_len == geo.y_length
+    assert y_len == geo.y_length
+    if groups is None:
+        groups = make_groups(geo)
+    if bounds is None:
+        bounds = jnp.asarray(geo.boundary_f0, jnp.float32)
     F = geo.f0_length
     f_pad = _round_up(F, 128)
     stot = _round_up(y_len, 128) // 128
@@ -247,15 +265,15 @@ def band_candidates_pallas(filt, geo, *, interpret=False):
     filt_T = filt_p.reshape(nb, stot, 128).transpose(0, 2, 1)
 
     outs = []
-    for g in make_groups(geo):
+    for g in groups:
         raw = _zc_group_call(
             filt_T[g.lo:g.hi], y_length=y_len, stot=stot, f_pad=f_pad,
             e_cap=g.e_cap, c_row=g.c_row, win=g.win,
             fs_a=float(geo.actual_fs), interpret=interpret)
         outs.append(raw[:, 0, :F])
-    cand = jnp.concatenate(outs, axis=0)                 # [Nb, F] means
+    cand = jnp.concatenate(outs, axis=0)                 # [nb, F] means
 
-    bounds = jnp.asarray(geo.boundary_f0, jnp.float32)[:, None]
-    ok = ((cand <= bounds * 1.1) & (cand >= bounds * 0.9)
+    b = bounds[:, None]
+    ok = ((cand <= b * 1.1) & (cand >= b * 0.9)
           & (cand <= geo.f0_ceil) & (cand >= geo.f0_floor))
     return jnp.where(ok, cand, 0.0)

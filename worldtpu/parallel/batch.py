@@ -28,6 +28,7 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 from worldtpu.analysis.cheaptrick import cheaptrick_frames
 from worldtpu.analysis.d4c import d4c_frames
 from worldtpu.synthesis import synthesis as _syn
+from worldtpu.analysis import harvest as _hv
 
 
 class MeshConfigError(ValueError):
@@ -128,6 +129,101 @@ def batch_copy_synthesis(x, f0, tpos, noise, *, fs, fft_size,
     y = syn_fn(x, f0, noise, spec_g, ap_g)
     y = jax.lax.with_sharding_constraint(y, NamedSharding(mesh, P("data", None)))
     return y, spec, ap
+
+
+@functools.partial(
+    jax.jit, static_argnames=("geo", "chunk", "use_zc", "mesh"))
+def batch_harvest_device_stages(x, *, geo, mesh, chunk=32, use_zc=None):
+    """Harvest device stages (decimate -> candidates -> refine -> prune)
+    for a [B, T] batch under the ('data', 'time') mesh.
+
+    dp: utterances over 'data'.  Within each data shard the band axis of
+    the candidate stage is sharded over 'time' — the TPU equivalent of the
+    reference's OpenMP band loop (/root/reference/src/harvest.cpp:1314-1346)
+    — as a STRATIFIED subset (band g lives on shard g % nt) so every shard
+    compiles the same kernel geometry; the refinement stage then shards the
+    frame axis (the reference's frame loop, :934-943).  Collectives: two
+    all-gathers over 'time' (raw candidates, refined slabs) riding ICI.
+
+    Returns [B, 2*F*S] flat cand++score rows (same as
+    harvest_device_stages per utterance)."""
+    nt = mesh.shape["time"]
+    Nb = geo.n_channels
+    nbl = -(-Nb // nt)
+    F, S = geo.f0_length, geo.max_candidates
+    fl = -(-F // nt)
+    dt = x.dtype
+
+    kern = _hv._bandpass_kernels(geo, dt)               # [Nb, taps]
+    bounds = jnp.asarray(geo.boundary_f0, dt)
+    padb = nt * nbl - Nb
+    kern = jnp.pad(kern, ((0, padb), (0, 0)))
+    bounds = jnp.pad(bounds, (0, padb), constant_values=1.0)
+    # stratified interleave: shard t row j <-> global band t + j*nt
+    order = (jnp.arange(nt)[:, None] + jnp.arange(nbl)[None, :] * nt)
+    kern_i = kern[order.reshape(-1)].reshape(nt, nbl, -1)
+    bounds_i = bounds[order.reshape(-1)].reshape(nt, nbl)
+
+    if use_zc is None:
+        use_zc = _hv._use_zc_kernel_default()
+    from worldtpu.ops import zc_kernel as _zc
+    groups = _zc.make_groups(geo, stride=nt)
+
+    def cell(x_l, kern_s, bounds_s):
+        # x_l [Bl, T]; kern_s [1, nbl, taps]; bounds_s [1, nbl]
+        kern_s = kern_s[0]
+        bounds_s = bounds_s[0]
+        tix = jax.lax.axis_index("time")
+        tpos1 = jnp.arange(geo.f0_length, dtype=dt) / 1000.0
+
+        def one(xi):
+            y = _hv.decimate_stage(xi, ratio=geo.ratio,
+                                   y_length=geo.y_length)
+            ypad = jnp.pad(y, (geo.max_filter_half - 1,
+                               geo.max_filter_half + 1))
+            filt = jax.lax.conv_general_dilated(
+                ypad[None, None, :], kern_s[:, None, :],
+                window_strides=(1,), padding="VALID",
+                dimension_numbers=("NCW", "OIW", "NCW"),
+                precision=jax.lax.Precision.HIGHEST)[0]  # [nbl, y_len]
+            if use_zc:
+                raw_l = _zc.band_candidates_pallas(
+                    filt, geo, bounds=bounds_s, groups=groups,
+                    interpret=(use_zc == "interpret"))
+            else:
+                raw_l = jax.vmap(
+                    lambda fi, b: _hv._band_candidates(fi, b, geo, tpos1))(
+                        filt, bounds_s)
+            # reassemble the full band axis in global order
+            # gathered rows are in (shard t, row j) order; global band
+            # index is t + j*nt
+            raw_g = jax.lax.all_gather(raw_l, "time", axis=0, tiled=True)
+            raw = raw_g.reshape(nt, nbl, -1).transpose(1, 0, 2).reshape(
+                nt * nbl, -1)[:Nb]
+            base = _hv._detect_candidates(raw, geo)
+            cand = _hv._overlap_candidates(base)         # [F, S] replicated
+            # frame-axis shard for refinement
+            cand_p = jnp.pad(cand, ((0, nt * fl - F), (0, 0)))
+            tpos_p = jnp.pad(tpos1, (0, nt * fl - F))
+            c_l = jax.lax.dynamic_slice(
+                cand_p, (tix * fl, jnp.zeros((), tix.dtype)), (fl, S))
+            t_l = jax.lax.dynamic_slice(tpos_p, (tix * fl,), (fl,))
+            r_l, s_l = _hv.refine_stage(y, c_l, t_l, geo=geo, chunk=chunk)
+            r_g = jax.lax.all_gather(
+                jnp.stack([r_l, s_l]), "time", axis=1, tiled=True)
+            ref, sco = r_g[0, :F], r_g[1, :F]
+            ref, sco = _hv.remove_unreliable_stage(ref, sco)
+            return jnp.concatenate([ref.reshape(-1), sco.reshape(-1)])
+
+        return jax.vmap(one)(x_l)
+
+    # check_vma=False: the output IS 'time'-replicated (it is produced from
+    # all-gathered values), but the static checker cannot infer that through
+    # refine_stage; bitwise sharded==unsharded is asserted in tests instead.
+    return jax.shard_map(
+        cell, mesh=mesh, check_vma=False,
+        in_specs=(P("data", None), P("time", None, None), P("time", None)),
+        out_specs=P("data", None))(x, kern_i, bounds_i)
 
 
 def pad_batch(waves, fs, frame_period_ms=5.0):

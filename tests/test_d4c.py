@@ -21,3 +21,36 @@ def test_d4c_parity(name):
     assert np.quantile(err, 0.999) < 1e-6, (
         f"q999={np.quantile(err, 0.999)}, max={err.max()}")
     assert err.max() < 1e-3, f"max err {err.max()}"
+
+
+@pytest.mark.parametrize("name", ["t16", "t48", "t22"])
+def test_d4c_dithered_parity(name):
+    """With the exact xorshift dither stream (continued from CheapTrick's
+    consumption, matching the reference demo's single-threaded call order),
+    D4C parity is FFT-backend-limited (~1e-12).  Stream sites:
+    /root/reference/src/d4c.cpp:291 via loveTrain (:216), the two centroids
+    (:417-420), and the smoothed power spectrum (:488); frames skipped by
+    the LoveTrain threshold draw nothing (:147)."""
+    from worldtpu.analysis import dither as D
+    from worldtpu.analysis.cheaptrick import CheapTrickKernel
+    from worldtpu.analysis.d4c import (
+        love_train_ap0, d4c_max_half_lt, d4c_max_half_c)
+
+    f = load_fixture(name)
+    kern = CheapTrickKernel(f.fs, f0_floor=71.0)
+    _, _, gen = D.cheaptrick_dither(
+        f.f0, f.fs, kern.fft_size, kern.max_half_window)
+    lt, gen = D.d4c_love_train_dither(f.f0, f.fs, d4c_max_half_lt(f.fs), gen)
+    ap0 = np.asarray(love_train_ap0(
+        jnp.asarray(f.x), jnp.asarray(f.f0), jnp.asarray(f.tpos), fs=f.fs,
+        lt_dither=jnp.asarray(lt)))
+    active = (f.f0 != 0) & (ap0 > 0.85)
+    c1, c2, h, gen = D.d4c_body_dither(
+        f.f0, active, f.fs, d4c_max_half_c(f.fs), gen)
+    got = np.asarray(d4c_frames(
+        jnp.asarray(f.x), jnp.asarray(f.f0), jnp.asarray(f.tpos),
+        fs=f.fs, fft_size_out=f.fft_size,
+        lt_dither=jnp.asarray(lt), c1_dither=jnp.asarray(c1),
+        c2_dither=jnp.asarray(c2), h_dither=jnp.asarray(h)))
+    err = np.abs(got - f.ap)
+    assert err.max() < 1e-10, f"max abs err {err.max()}"

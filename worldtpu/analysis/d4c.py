@@ -45,15 +45,57 @@ def number_of_aperiodicities(fs: int) -> int:
                / C.FREQUENCY_INTERVAL)
 
 
+def d4c_max_half_lt(fs: int) -> int:
+    """Worst-case LoveTrain half window: round(1.5*fs/lowest_f0), lowest_f0
+    = 40 (reference :102,216,250)."""
+    return int(1.5 * fs / 40.0 + 0.5)
+
+
+def d4c_max_half_c(fs: int) -> int:
+    """Worst-case main-loop half window: round(2*fs/kFloorF0D4C)
+    (reference :157,250 with ratio 4.0)."""
+    return int(2.0 * fs / C.FLOOR_F0_D4C + 0.5)
+
+
+@functools.partial(jax.jit, static_argnames=("fs",))
+def love_train_ap0(x, f0, temporal_positions, *, fs, lt_dither=None):
+    """Standalone LoveTrain VUV ratio (reference :181-240): the cumulative
+    power at 4000 Hz over that at 7900 Hz of a Blackman 3-period frame.
+    Bitwise-identical to the gate computed inside ``d4c_frames`` — used to
+    derive the main-loop dither stream gating on the host."""
+    dt = x.dtype
+    f0 = f0.astype(dt)
+    pos = temporal_positions.astype(dt)
+    fft_lt = love_train_fft_size(fs)
+    max_half_lt = d4c_max_half_lt(fs)
+    f0lt = jnp.maximum(f0, 40.0)
+    wave_lt = _windowed_waveform(x, f0lt, pos, fs, C.BLACKMAN, 3.0,
+                                 max_half_lt, dt, dither=lt_dither)
+    spec_lt = jnp.fft.rfft(wave_lt, n=fft_lt, axis=-1)
+    ps_lt = (spec_lt.real ** 2 + spec_lt.imag ** 2).astype(dt)
+    b0 = int(math.ceil(100.0 * fft_lt / fs))
+    b1 = int(math.ceil(4000.0 * fft_lt / fs))
+    b2 = int(math.ceil(7900.0 * fft_lt / fs))
+    bins = jnp.arange(ps_lt.shape[-1])
+    ps_lt = jnp.where(bins[None, :] <= b0, 0.0, ps_lt)
+    cum = jnp.cumsum(ps_lt, axis=-1)
+    return jnp.where(f0 == 0.0, 0.0, cum[:, b1] / cum[:, b2])
+
+
 def _windowed_waveform(x, f0, position, fs, window_type, ratio, max_half,
-                       dtype, frame_seg=None, seg_origin=None, seg_pad=0):
+                       dtype, frame_seg=None, seg_origin=None, seg_pad=0,
+                       dither=None):
     """D4C::getWindowedWaveform (:246-303), left-aligned and padded to
     2*max_half+1 columns.  Returns [F, W] masked windowed waveform.
 
     When frame_seg [F, 2*(max_half+seg_pad)+1] (a shared per-frame waveform
     neighborhood gathered once around seg_origin) is given, the window is
     read from it by a shifted in-segment index instead of a fresh [F, W]
-    gather from x — the gathers dominate D4C's device time otherwise."""
+    gather from x — the gathers dominate D4C's device time otherwise.
+
+    ``dither`` is an optional [F, W] left-aligned parity dither added to the
+    windowed waveform before the weighting step, reproducing the reference's
+    ``randn() * kMySafeGuardMinimum`` injection (:291)."""
     half = _matlab_round(ratio * fs / f0 / 2.0)            # [F]
     W = 2 * max_half + 1
     j = jnp.arange(W, dtype=jnp.int32)
@@ -80,7 +122,10 @@ def _windowed_waveform(x, f0, position, fs, window_type, ratio, max_half,
         win = 0.42 + 0.5 * jnp.cos(pf) + 0.08 * jnp.cos(2.0 * pf)
     win = jnp.where(in_win, win, 0.0)
 
-    wave = jnp.where(in_win, seg * win, 0.0)
+    raw = seg * win
+    if dither is not None:
+        raw = raw + dither.astype(dtype)
+    wave = jnp.where(in_win, raw, 0.0)
     weight = (jnp.sum(wave, -1, keepdims=True)
               / jnp.sum(win, -1, keepdims=True))
     return jnp.where(in_win, wave - win * weight, 0.0)
@@ -88,7 +133,8 @@ def _windowed_waveform(x, f0, position, fs, window_type, ratio, max_half,
 
 @functools.partial(jax.jit, static_argnames=("fs", "fft_size_out"))
 def d4c_frames(x, f0, temporal_positions, *, fs, fft_size_out, threshold=0.85,
-               f0_ceil_bound=C.CEIL_F0):
+               f0_ceil_bound=C.CEIL_F0, lt_dither=None, c1_dither=None,
+               c2_dither=None, h_dither=None):
     """Band aperiodicity for all frames at once.
 
     Args:
@@ -100,6 +146,11 @@ def d4c_frames(x, f0, temporal_positions, *, fs, fft_size_out, threshold=0.85,
         threshold: LoveTrain VUV threshold (reference option, default 0.85).
         f0_ceil_bound: static bound on the largest f0 value, used to size the
             linear-smoothing pad.
+        lt_dither: optional [F, 2*d4c_max_half_lt(fs)+1] LoveTrain window
+            parity dither (see analysis.dither).
+        c1_dither, c2_dither, h_dither: optional [F, 2*d4c_max_half_c(fs)+1]
+            main-loop window parity dithers (centroid -0.25/f0, centroid
+            +0.25/f0, Hanning), reference :291 call sites :417-420,:488.
 
     Returns:
         [F, fft_size_out//2 + 1] aperiodicity in (0, 1].
@@ -115,8 +166,8 @@ def d4c_frames(x, f0, temporal_positions, *, fs, fft_size_out, threshold=0.85,
 
     # shared per-frame waveform neighborhood: every window below reads from
     # this single gather instead of four separate [F, W] gathers
-    max_half_lt = int(1.5 * fs / 40.0 + 0.5)
-    max_half_c = int(2.0 * fs / C.FLOOR_F0_D4C + 0.5)
+    max_half_lt = d4c_max_half_lt(fs)
+    max_half_c = d4c_max_half_c(fs)
     seg_half = max(max_half_lt, max_half_c)
     seg_pad = int(0.25 * fs / C.FLOOR_F0_D4C) + 2
     seg_origin = _matlab_round(pos * fs + 0.001)
@@ -136,7 +187,8 @@ def d4c_frames(x, f0, temporal_positions, *, fs, fft_size_out, threshold=0.85,
     fseg_lt, pad_lt = seg_for(max_half_lt)
     wave_lt = _windowed_waveform(x, f0lt, pos, fs, C.BLACKMAN, 3.0,
                                  max_half_lt, dt, frame_seg=fseg_lt,
-                                 seg_origin=seg_origin, seg_pad=pad_lt)
+                                 seg_origin=seg_origin, seg_pad=pad_lt,
+                                 dither=lt_dither)
     spec_lt = jnp.fft.rfft(wave_lt, n=fft_lt, axis=-1)
     ps_lt = (spec_lt.real ** 2 + spec_lt.imag ** 2).astype(dt)
     b0 = int(math.ceil(100.0 * fft_lt / fs))
@@ -154,10 +206,10 @@ def d4c_frames(x, f0, temporal_positions, *, fs, fft_size_out, threshold=0.85,
     ramp_w = 2 * max_half_c + 1
     fseg_c, pad_c = seg_for(max_half_c)
 
-    def centroid(at):
+    def centroid(at, dither):
         w = _windowed_waveform(x, f0d, at, fs, C.BLACKMAN, 4.0, max_half_c,
                                dt, frame_seg=fseg_c, seg_origin=seg_origin,
-                               seg_pad=pad_c)
+                               seg_pad=pad_c, dither=dither)
         power = jnp.sqrt(jnp.sum(w * w, -1, keepdims=True))
         w = w / power
         s1 = jnp.fft.rfft(w, n=fft_d4c, axis=-1)
@@ -165,8 +217,8 @@ def d4c_frames(x, f0, temporal_positions, *, fs, fft_size_out, threshold=0.85,
         s2 = jnp.fft.rfft(w * ramp[None, :], n=fft_d4c, axis=-1)
         return (s1.real * s2.real + s1.imag * s2.imag).astype(dt)
 
-    static_centroid = (centroid(pos - 0.25 / f0d)
-                       + centroid(pos + 0.25 / f0d))
+    static_centroid = (centroid(pos - 0.25 / f0d, c1_dither)
+                       + centroid(pos + 0.25 / f0d, c2_dither))
     static_centroid = jax.vmap(
         lambda p, f: filters.dc_correction(p, f, fs, fft_d4c))(
             static_centroid, f0d)
@@ -174,7 +226,8 @@ def d4c_frames(x, f0, temporal_positions, *, fs, fft_size_out, threshold=0.85,
     # ---- smoothed power spectrum (reference :411-434) ----
     wave_h = _windowed_waveform(x, f0d, pos, fs, C.HANNING, 4.0,
                                 max_half_c, dt, frame_seg=fseg_c,
-                                seg_origin=seg_origin, seg_pad=pad_c)
+                                seg_origin=seg_origin, seg_pad=pad_c,
+                                dither=h_dither)
     spec_h = jnp.fft.rfft(wave_h, n=fft_d4c, axis=-1)
     sps = (spec_h.real ** 2 + spec_h.imag ** 2).astype(dt)
     sps = jax.vmap(

@@ -273,7 +273,13 @@ def dc_correction(power_spectrum, f0, fs, fft_size):
     i = jnp.arange(k, dtype=dt)
     upper_limit = 2 + (f0 * fft_size / fs).astype(jnp.int32)
     # interp1Q(x0=f0, dx=-fs/fft, y=input, xi=i*fs/fft) for i < upper_limit-1
-    pos = f0 * fft_size / fs - i  # = (xi - f0)/(-fs/fft)
+    if dt == jnp.float64:
+        # parity path: the reference's literal rounding order
+        # (world_common.cpp:67-73 + interp1Q world_matlabfunctions.cpp:227-229)
+        xi = i * fs / fft_size
+        pos = (xi - f0) / (-(fs / fft_size))
+    else:
+        pos = f0 * fft_size / fs - i  # = (xi - f0)/(-fs/fft)
     base = pos.astype(jnp.int32)
     frac = pos - base.astype(dt)
     base_c = jnp.clip(base, 0, k - 2)
@@ -316,28 +322,37 @@ def linear_smoothing(power_spectrum, width, fs, fft_size, max_boundary):
     refl = jnp.clip(refl, 0, half)
     mirr = jnp.take(power_spectrum, refl)
 
-    vals = mirr * (fs / fft_size)
-
-    # interp1Q(origin=-(boundary-0.5)*fs/fft, dx=fs/fft, seg, freq -+ width/2)
-    i = jnp.arange(k, dtype=dt)
-    u = width * fft_size / fs  # width in bins (real)
-    b = boundary.astype(dt)
-    pos_lo = i - u / 2.0 + b - 0.5
-    pos_hi = i + u / 2.0 + b - 0.5
-
     if dt == jnp.float64:
-        # parity path: literal cumsum + interp1Q difference like the C++
-        seg = jnp.cumsum(vals)
+        # parity path: the reference's literal arithmetic, term for term
+        # (SetParametersForLinearSmoothing world_common.cpp:29-53 +
+        # LinearSmoothing :82-116 + interp1Q world_matlabfunctions.cpp:220-241)
+        vals = (mirr * fs) / fft_size
+        # sequential left-to-right integration: seg[i] = vals[i] + seg[i-1]
+        # with one rounding per step, exactly like the C++ loop (:45-49) —
+        # a tree-reassociated cumsum differs by ~eps*total, which shows up
+        # as 1e-7 relative error at near-zero tail bins after the
+        # high-minus-low cancellation below
+        def step(c, v):
+            nc = v + c
+            return nc, nc
+        _, seg_rest = jax.lax.scan(step, vals[0], vals[1:])
+        seg = jnp.concatenate([vals[:1], seg_rest])
 
-        def levels(pos):
-            base = pos.astype(jnp.int32)
-            frac = pos - base.astype(dt)
+        i = jnp.arange(k, dtype=dt)
+        freq = i / fft_size * fs - width / 2.0        # :51-52
+        origin = -(boundary.astype(dt) - 0.5) * fs / fft_size  # :95
+        dx = fs / fft_size
+
+        def levels(xi):
+            t = (xi - origin) / dx                    # interp1Q :227-229
+            base = t.astype(jnp.int32)                # trunc; t > 0 here
+            frac = t - base.astype(dt)
             base_c = jnp.clip(base, 0, seg.shape[0] - 2)
             y0 = jnp.take(seg, base_c)
             y1 = jnp.take(seg, base_c + 1)
             return y0 + (y1 - y0) * frac
 
-        return (levels(pos_hi) - levels(pos_lo)) / width
+        return (levels(freq + width) - levels(freq)) / width
 
     # float32 path is in linear_smoothing_batch (gather-free grouped conv);
     # falling through here means a direct f32 call: delegate to the batch

@@ -23,6 +23,30 @@ def test_d4c_parity(name):
     assert err.max() < 1e-3, f"max err {err.max()}"
 
 
+def test_d4c_float32_underflow_is_finite():
+    """f32 production path: a near-pure tone underflows high-frequency
+    smoothed-power bins to exactly 0; the group-delay divide must not turn
+    that into inf/NaN aperiodicity (regression: corpus utterances went NaN
+    mid-stream)."""
+    import jax
+
+    fs = 16000
+    t = np.arange(int(fs * 1.1)) / fs
+    rng = np.random.RandomState(0)
+    x = (0.4 * np.sin(2 * np.pi * 190 * t)
+         + 0.2 * np.sin(2 * np.pi * 380 * t)
+         + 0.005 * rng.randn(len(t))).astype(np.float32)
+    F = int(1000 * len(x) / fs / 5.0) + 1
+    f0 = np.full(F, 190.0, np.float32)
+    tpos = (np.arange(F) * 0.005).astype(np.float32)
+    ap = np.asarray(d4c_frames(
+        jnp.asarray(x), jnp.asarray(f0), jnp.asarray(tpos),
+        fs=fs, fft_size_out=1024))
+    assert ap.dtype == np.float32
+    assert np.all(np.isfinite(ap)), "non-finite aperiodicity in f32 path"
+    assert np.all((ap > 0) & (ap <= 1.0))
+
+
 @pytest.mark.parametrize("name", ["t16", "t48", "t22"])
 def test_d4c_dithered_parity(name):
     """With the exact xorshift dither stream (continued from CheapTrick's

@@ -234,9 +234,20 @@ def d4c_frames(x, f0, temporal_positions, *, fs, fft_size_out, threshold=0.85,
         lambda p, f: filters.dc_correction(p, f, fs, fft_d4c))(sps, f0d)
     max_b = int(1.2 * f0_ceil_bound * fft_d4c / fs) + 2
     sps = filters.linear_smoothing_frames(sps, f0d, fs, fft_d4c, max_b)
+    if dt != jnp.float64:
+        # f32 robustness: smoothing can underflow a power bin to exactly 0
+        # (the f64 reference never does in practice); an unfloored divide
+        # below turns that into inf group delay -> NaN aperiodicity
+        sps = jnp.maximum(sps, jnp.finfo(dt).tiny)
 
     # ---- static group delay (reference :440-460) ----
     sgd = static_centroid / sps
+    if dt != jnp.float64:
+        # physical group delay is bounded by the analysis span (<= fft_d4c
+        # samples); near-zero-power bins can still blow up to ~1e35, which
+        # overflows f32 when the coarse-band FFT squares it below.  1e12 is
+        # 8+ orders above any valid value and 14 below f32 overflow.
+        sgd = jnp.clip(sgd, -1e12, 1e12)
     sgd = filters.linear_smoothing_frames(sgd, f0d / 2.0, fs, fft_d4c, max_b)
     sgd_smooth = filters.linear_smoothing_frames(sgd, f0d, fs, fft_d4c, max_b)
     sgd = sgd - sgd_smooth

@@ -75,6 +75,29 @@ def get_audio_length(path):
     return -1
 
 
+def wav_info(path):
+    """(n_samples, fs, nbit) from the header only — the corpus loader's
+    cheap metadata scan (same header walk as get_audio_length)."""
+    with open(path, "rb") as f:
+        data = f.read(65536)
+    if data[:4] != b"RIFF" or data[8:12] != b"WAVE":
+        raise ValueError(f"{path}: not a RIFF/WAVE file")
+    pos = 12
+    fs = nbit = None
+    while pos + 8 <= len(data):
+        tag = data[pos:pos + 4]
+        size = struct.unpack("<I", data[pos + 4:pos + 8])[0]
+        if tag == b"fmt ":
+            fs = struct.unpack("<I", data[pos + 12:pos + 16])[0]
+            nbit = struct.unpack("<H", data[pos + 22:pos + 24])[0]
+        elif tag == b"data":
+            if nbit is None:
+                raise ValueError(f"{path}: data chunk before fmt chunk")
+            return size // (nbit // 8), fs, nbit
+        pos += 8 + size + (size & 1)
+    raise ValueError(f"{path}: no data chunk found")
+
+
 def wavwrite(path, x, fs, nbit=16):
     """Write a mono 16-bit PCM wav (reference wavwrite semantics)."""
     if nbit != 16:

@@ -1,31 +1,51 @@
 #!/usr/bin/env python
-"""Benchmark: batched analysis+resynthesis real-time factor per TPU chip.
+"""Benchmark: the five BASELINE.md configs + quality metrics vs the C++
+reference, measured at runtime.
 
-Measures the full WORLD pipeline — Harvest F0 + CheapTrick envelope + D4C
-aperiodicity + synthesis — on a batch of LJSpeech-like synthetic utterances
-(22.05 kHz vowels with vibrato and an unvoiced gap), float32, steady-state,
-with inputs resident on device (the dev-tunnel host<->device link is not the
-production IO path and is excluded from the timed region; Harvest's host
-contour stage and its transfers ARE included since they are part of the
-pipeline).
+Configs (driver BASELINE.json):
+  1. Harvest F0 contour, one 3 s 16 kHz utterance, frame_period = 5 ms
+  2. CheapTrick spectral envelope from Harvest F0, same utterance
+  3. D4C aperiodicity + band-aperiodicity/envelope codec round-trip
+  4. Full analysis->synthesis copy-synthesis of a single 48 kHz utterance
+  5. Batched corpus copy-synthesis with pitch/duration manipulation
+     (LJSpeech-like synthetic corpus, 22.05 kHz, streamed through
+     io.corpus from a real wav directory)
 
-Prints one JSON line:
-    {"metric": ..., "value": N, "unit": ..., "vs_baseline": N}
+The C++ reference binary is built once into /tmp/refbuild (sources from
+/root/reference, per-stage chrono timings parsed from its stdout) and run
+on the same wavs, so vs_baseline is measured, not hardcoded.  Quality
+metrics (F0 RMSE, voicing agreement, mel-cepstral distortion) come from the
+reference's parameter dumps on config 1's utterance.
 
-vs_baseline is against the C++ reference binary measured on this container's
-CPU (single utterance, ~3.17x real time; OpenMP adds nothing on 1 vCPU).
+Timing method: inputs staged on device (the dev-tunnel host<->device link
+is not the production IO path); Harvest's host contour stage and its
+transfers ARE timed.  Each config: 1 compile warmup, then best of `reps`
+timed runs (steady state).
+
+Prints ONE JSON line:
+    {"metric", "value", "unit", "vs_baseline", "configs", "quality"}
+value/vs_baseline are config 5 (the corpus stream), the headline number.
 """
 
 import json
+import os
+import pathlib
+import re
+import shutil
+import subprocess
 import sys
+import tempfile
 import time
 
 import numpy as np
 
-CPP_REFERENCE_RTF = 3.17  # /tmp/refbuild/test_omp t16.wav: 3.0 s in 0.945 s
+FALLBACK_CPP_RTF = 3.17  # measured r1 on this container; used if build fails
+REPS = int(os.environ.get("WORLDTPU_BENCH_REPS", "3"))
+CONFIGS = os.environ.get("WORLDTPU_BENCH_CONFIGS", "1,2,3,4,5").split(",")
 
 
 def synth_utterance(fs, dur, f0_base, seed):
+    """LJSpeech-like synthetic vowel: vibrato harmonics + unvoiced gap."""
     rng = np.random.RandomState(seed)
     n = int(fs * dur)
     t = np.arange(n) / fs
@@ -42,80 +62,328 @@ def synth_utterance(fs, dur, f0_base, seed):
     return np.clip(x, -0.99, 0.99).astype(np.float32)
 
 
+# --------------------------------------------------------------------------
+# C++ reference: build + measure
+# --------------------------------------------------------------------------
+
+def build_reference():
+    """Build the reference timing binary and the single-threaded parameter
+    dumper into /tmp/refbuild (cached).  Returns (bench_bin, dump_bin) or
+    (None, None) if the toolchain/sources are unavailable."""
+    rb = pathlib.Path("/tmp/refbuild")
+    bench_bin, dump_bin = rb / "bench_test", rb / "dump_st"
+    if bench_bin.exists() and dump_bin.exists():
+        return bench_bin, dump_bin
+    ref = pathlib.Path("/root/reference")
+    if not ref.exists() or shutil.which("g++") is None:
+        return None, None
+    try:
+        rb.mkdir(exist_ok=True)
+        for d in ("src", "include", "tools", "test"):
+            shutil.copytree(ref / d, rb / d, dirs_exist_ok=True)
+        shutil.copy(pathlib.Path(__file__).parent / "tests/tools/dump.cpp",
+                    rb / "dump.cpp")
+        src = sorted(str(p) for p in (rb / "src").glob("*.cpp"))
+        common = src + [str(rb / "tools/audioio.cpp"),
+                        str(rb / "tools/parameterio.cpp")]
+        subprocess.run(
+            ["g++", "-std=c++11", "-O3", "-fopenmp",
+             "-I", str(rb / "include"), "-I", str(rb / "tools"),
+             "-o", str(bench_bin), str(rb / "test/test.cpp")] + common,
+            check=True, capture_output=True, timeout=300)
+        subprocess.run(
+            ["g++", "-std=c++11", "-O2",
+             "-I", str(rb / "include"), "-I", str(rb / "tools"),
+             "-o", str(dump_bin), str(rb / "dump.cpp")] + common,
+            check=True, capture_output=True, timeout=300)
+        return bench_bin, dump_bin
+    except Exception:
+        return None, None
+
+
+def measure_reference(bench_bin, wav_path, workdir):
+    """Per-stage compute times (seconds) of the reference demo binary:
+    {'harvest': s, 'cheaptrick': s, 'd4c': s, 'synthesis': s, 'total': s}.
+    Parses the 'compute:\\t N [msec]' lines of test.cpp
+    (/root/reference/test/test.cpp:112-113,159-160,196-197,262-263)."""
+    if bench_bin is None:
+        return None
+    try:
+        r = subprocess.run(
+            [str(bench_bin), str(wav_path), str(workdir / "refout")],
+            capture_output=True, text=True, timeout=600, cwd=str(workdir))
+        times = [float(m) / 1000.0 for m in
+                 re.findall(r"compute:\s*([0-9.e+-]+)\s*\[msec\]", r.stdout)]
+        if len(times) != 4:
+            return None
+        keys = ("harvest", "cheaptrick", "d4c", "synthesis")
+        out = dict(zip(keys, times))
+        out["total"] = sum(times)
+        return out
+    except Exception:
+        return None
+
+
+# --------------------------------------------------------------------------
+# quality metrics
+# --------------------------------------------------------------------------
+
+def mel_cepstra(spec, n=25):
+    """[F, n] linear-frequency cepstra of a power spectrogram (host)."""
+    logp = np.log(np.maximum(np.asarray(spec, np.float64), 1e-300))
+    mirrored = np.concatenate([logp, logp[:, 1:-1][:, ::-1]], -1)
+    ceps = np.fft.rfft(mirrored, axis=-1).real / mirrored.shape[-1]
+    return ceps[:, :n]
+
+
+def quality_metrics(f0_ours, f0_ref, spec_ours, spec_ref):
+    n = min(len(f0_ours), len(f0_ref))
+    a, b = np.asarray(f0_ours[:n], np.float64), np.asarray(f0_ref[:n])
+    both = (a > 0) & (b > 0)
+    f0_rmse = float(np.sqrt(np.mean((a[both] - b[both]) ** 2)))
+    vuv = float(np.mean((a > 0) == (b > 0)))
+    ca = mel_cepstra(spec_ours[:n])
+    cb = mel_cepstra(spec_ref[:n])
+    d = ca[:, 1:] - cb[:, 1:]
+    mcd_frames = (10.0 / np.log(10.0)) * np.sqrt(
+        2.0 * np.sum(d * d, axis=-1))
+    return {"f0_rmse_hz": round(f0_rmse, 6),
+            "vuv_agreement": round(vuv, 4),
+            "mcd_db": round(float(np.mean(mcd_frames[both])), 6)}
+
+
+# --------------------------------------------------------------------------
+# timed runs
+# --------------------------------------------------------------------------
+
+def best_wall(fn, reps=REPS):
+    fn()  # compile + warm
+    walls = []
+    for _ in range(reps):
+        t0 = time.time()
+        fn()
+        walls.append(time.time() - t0)
+    return min(walls)
+
+
 def main():
     import jax
     import jax.numpy as jnp
-    from worldtpu.analysis.cheaptrick import CheapTrickKernel
+    from worldtpu import codec
+    from worldtpu.analysis.cheaptrick import CheapTrickKernel, cheaptrick_frames
+    from worldtpu.analysis.d4c import d4c_frames
     from worldtpu.analysis.harvest import HarvestKernel
+    from worldtpu.io import corpus as corpus_io
+    from worldtpu.io import params as params_io
+    from worldtpu.io import wav as wav_io
     from worldtpu.parallel import batch as B
     from worldtpu.synthesis import synthesis as S
 
-    fs = 22050
-    dur = 3.0
-    n_utts = 8
-    frame_period = 5.0
+    work = pathlib.Path(tempfile.mkdtemp(prefix="worldtpu_bench_"))
+    bench_bin, dump_bin = build_reference()
+    configs = {}
+    quality = {}
 
-    waves = [synth_utterance(fs, dur, 160.0 + 15 * i, i)
-             for i in range(n_utts)]
-    x, lengths, n_frames, F, out_length = B.pad_batch(waves, fs, frame_period)
-    T = x.shape[1]
-    audio_seconds = float(lengths.sum()) / fs
+    # ---- shared single utterance: 3 s 16 kHz (configs 1-3) ----
+    fs1 = 16000
+    x1 = synth_utterance(fs1, 3.0, 160.0, 0)
+    wav_io.wavwrite(work / "u16.wav", x1.astype(np.float64), fs1)
+    ref1 = measure_reference(bench_bin, work / "u16.wav", work)
 
-    hk = HarvestKernel(fs, T, f0_floor=40.0, frame_period=frame_period)
-    ck = CheapTrickKernel(fs)
-    tpos = jnp.asarray((np.arange(F) * frame_period / 1000.0), jnp.float32)
-    x_dev = jax.device_put(jnp.asarray(x))
-    jax.block_until_ready(x_dev)
-    state = {"mp": None, "noise": None}
-    n_batches = 3  # steady-state corpus stream
+    hk1 = HarvestKernel(fs1, len(x1), f0_floor=40.0)
+    ck1 = CheapTrickKernel(fs1)
+    x1_dev = jax.device_put(jnp.asarray(x1))
+    jax.block_until_ready(x1_dev)
 
-    def pipeline(nb=1):
-        """Process nb batches as a pipelined corpus stream: batch k+1's
-        Harvest device stages run while batch k's host contour + synthesis
-        dispatch proceed; synthesis results are only blocked on at the end."""
-        ys = []
-        gen = hk.compute_corpus([x_dev] * nb, transfer_dtype=jnp.float16)
-        for b in range(nb):
-            f0s = np.zeros((n_utts, F), np.float32)
-            for i in range(n_utts):
-                f0, _ = next(gen)
-                f0s[i, :len(f0)] = f0
-            if state["mp"] is None:
-                # static pulse-axis bound from actual contours (warmup only)
-                state["mp"] = max(S.estimate_max_pulses(
-                    f0s[i], fs, ck.fft_size, out_length)
-                    for i in range(n_utts))
-                state["noise"] = S.make_noise(
-                    jax.random.PRNGKey(0), n_utts * state["mp"], ck.fft_size,
-                    jnp.float32).reshape(n_utts, state["mp"], -1)
-            y, spec, ap = B.batch_copy_synthesis(
-                x_dev, jnp.asarray(f0s), tpos, state["noise"],
-                fs=fs, fft_size=ck.fft_size,
-                max_half_window=ck.max_half_window,
-                frame_period_s=frame_period / 1000.0,
-                out_length=out_length, max_pulses=state["mp"], mesh=None)
-            ys.append(y)
-        jax.block_until_ready(ys)
-        return ys
+    f0_ours, tpos_ours = hk1.compute(x1_dev, dtype=jnp.float32)
+    F1 = len(f0_ours)
+    f0_dev = jax.device_put(jnp.asarray(f0_ours, jnp.float32))
+    tp_dev = jax.device_put(jnp.asarray(tpos_ours, jnp.float32))
 
-    y = pipeline(1)[0]  # compile + warm the transfer path
-    assert bool(jnp.all(jnp.isfinite(y))), "non-finite output"
+    if "1" in CONFIGS:
+        w = best_wall(lambda: hk1.compute(x1_dev, dtype=jnp.float32))
+        configs["1_harvest_3s_16k"] = {
+            "rtf": round(3.0 / w, 2),
+            "cpp_rtf": round(3.0 / ref1["harvest"], 2) if ref1 else None}
 
-    times = []
-    for _ in range(2):
-        t0 = time.time()
-        pipeline(n_batches)
-        times.append(time.time() - t0)
-    wall = min(times)
-    rtf = n_batches * audio_seconds / wall
+    if "2" in CONFIGS:
+        def run2():
+            out = cheaptrick_frames(
+                x1_dev, f0_dev, tp_dev, fs=fs1, fft_size=ck1.fft_size,
+                max_half_window=ck1.max_half_window)
+            jax.block_until_ready(out)
+            return out
+        w = best_wall(run2)
+        configs["2_cheaptrick_3s_16k"] = {
+            "rtf": round(3.0 / w, 2),
+            "cpp_rtf": round(3.0 / ref1["cheaptrick"], 2) if ref1 else None}
 
+    if "3" in CONFIGS:
+        n_ap = codec.get_number_of_aperiodicities(fs1)
+
+        def run3():
+            ap = d4c_frames(x1_dev, f0_dev, tp_dev, fs=fs1,
+                            fft_size_out=ck1.fft_size)
+            cap = codec.code_aperiodicity(ap, fs=fs1, fft_size=ck1.fft_size)
+            dap = codec.decode_aperiodicity(cap, fs=fs1,
+                                            fft_size=ck1.fft_size)
+            spec = cheaptrick_frames(
+                x1_dev, f0_dev, tp_dev, fs=fs1, fft_size=ck1.fft_size,
+                max_half_window=ck1.max_half_window)
+            cse = codec.code_spectral_envelope(
+                spec, fs=fs1, fft_size=ck1.fft_size, n_dims=32)
+            dse = codec.decode_spectral_envelope(
+                cse, fs=fs1, fft_size=ck1.fft_size, n_dims=32)
+            jax.block_until_ready((dap, dse))
+            return dap
+        w = best_wall(run3)
+        configs["3_d4c_codec_3s_16k"] = {
+            "rtf": round(3.0 / w, 2),
+            "cpp_rtf": round(3.0 / ref1["d4c"], 2) if ref1 else None,
+            "note": "ours includes CheapTrick+codec round-trip; cpp_rtf is "
+                    "D4C compute only"}
+
+    # ---- quality vs reference dumps (config 1 utterance) ----
+    if dump_bin is not None:
+        try:
+            subprocess.run(
+                [str(dump_bin), str(work / "u16.wav"), str(work / "q"),
+                 "5.0"],
+                check=True, capture_output=True, timeout=600,
+                cwd=str(work))
+            f0_ref, _, _ = params_io.read_f0(work / "q.f0")
+            spec_ref, _ = params_io.read_spectral_envelope(work / "q.spec")
+            spec_ours = np.asarray(cheaptrick_frames(
+                x1_dev, f0_dev, tp_dev, fs=fs1, fft_size=ck1.fft_size,
+                max_half_window=ck1.max_half_window))
+            quality = quality_metrics(f0_ours, f0_ref, spec_ours, spec_ref)
+        except Exception as e:  # quality is best-effort
+            quality = {"error": str(e)[:120]}
+
+    # ---- config 4: single 48 kHz copy-synthesis ----
+    if "4" in CONFIGS:
+        fs4 = 48000
+        x4 = synth_utterance(fs4, 3.0, 180.0, 4)
+        wav_io.wavwrite(work / "u48.wav", x4.astype(np.float64), fs4)
+        ref4 = measure_reference(bench_bin, work / "u48.wav", work)
+        hk4 = HarvestKernel(fs4, len(x4), f0_floor=40.0)
+        ck4 = CheapTrickKernel(fs4)
+        x4_dev = jax.device_put(jnp.asarray(x4))
+        jax.block_until_ready(x4_dev)
+        F4 = 1 + int(1000.0 * len(x4) / fs4 / 5.0)
+        tp4 = jax.device_put(jnp.asarray(np.arange(F4) * 0.005, jnp.float32))
+        out_len4 = int((F4 - 1) * 0.005 * fs4) + 1
+        mp4 = S.default_max_pulses(out_len4, fs4)
+        noise4 = S.make_noise(jax.random.PRNGKey(1), mp4, ck4.fft_size,
+                              jnp.float32)[None]
+
+        def run4():
+            f0, _ = hk4.compute(x4_dev, dtype=jnp.float32)
+            f0b = jnp.asarray(f0[:F4], jnp.float32)[None]
+            y, _, _ = B.batch_copy_synthesis(
+                x4_dev[None], f0b, tp4, noise4, fs=fs4,
+                fft_size=ck4.fft_size, max_half_window=ck4.max_half_window,
+                frame_period_s=0.005, out_length=out_len4, max_pulses=mp4,
+                mesh=None)
+            jax.block_until_ready(y)
+            return y
+        w = best_wall(run4)
+        configs["4_copysyn_3s_48k"] = {
+            "rtf": round(3.0 / w, 2),
+            "cpp_rtf": round(3.0 / ref4["total"], 2) if ref4 else None}
+
+    # ---- config 5 (headline): batched corpus copy-synthesis with
+    #      pitch/duration manipulation, streamed via io.corpus ----
+    rtf5 = None
+    cpp_rtf5 = None
+    if "5" in CONFIGS:
+        fs5 = 22050
+        n_utts = 8
+        cdir = work / "corpus"
+        cdir.mkdir()
+        for i in range(n_utts):
+            wav_io.wavwrite(
+                cdir / f"lj{i:03d}.wav",
+                synth_utterance(fs5, 3.0, 160.0 + 15 * i, i).astype(
+                    np.float64), fs5)
+        ref5 = measure_reference(bench_bin, cdir / "lj000.wav", work)
+        cpp_rtf5 = round(3.0 / ref5["total"], 2) if ref5 else None
+
+        (batch,) = corpus_io.load_corpus(cdir, batch_size=n_utts,
+                                         pad_to=4096, frames_to=16)
+        audio_seconds = float(batch.lengths.sum()) / fs5
+        T = batch.x.shape[1]
+        F = batch.F
+        hk5 = HarvestKernel(fs5, T, f0_floor=40.0)
+        ck5 = CheapTrickKernel(fs5)
+        x5_dev = jax.device_put(jnp.asarray(batch.x))
+        jax.block_until_ready(x5_dev)
+        tp5 = jax.device_put(
+            jnp.asarray(np.arange(F) * 0.005, jnp.float32))
+        # duration manipulation: resynthesize at 1.25x length (frame period
+        # 6.25 ms at synthesis; reference analog: test.cpp's
+        # ParameterModification changes f0/formants, duration scaling is the
+        # frame_period counterpart)
+        pitch_scale = 1.2
+        dur_scale = 1.25
+        out_len5 = int((F - 1) * 0.005 * dur_scale * fs5) + 1
+        state = {"mp": None, "noise": None}
+        n_batches = 3
+
+        def pipeline(nb=1):
+            ys = []
+            gen = hk5.compute_corpus([x5_dev] * nb,
+                                     transfer_dtype=jnp.float16)
+            for _ in range(nb):
+                f0s = np.zeros((n_utts, F), np.float32)
+                for i in range(n_utts):
+                    f0, _ = next(gen)
+                    f0s[i, :min(F, len(f0))] = f0[:F]
+                f0s *= pitch_scale
+                if state["mp"] is None:
+                    state["mp"] = max(S.estimate_max_pulses(
+                        f0s[i], fs5, ck5.fft_size, out_len5)
+                        for i in range(n_utts))
+                    state["noise"] = S.make_noise(
+                        jax.random.PRNGKey(0),
+                        n_utts * state["mp"], ck5.fft_size,
+                        jnp.float32).reshape(n_utts, state["mp"], -1)
+                y, _, _ = B.batch_copy_synthesis(
+                    x5_dev, jnp.asarray(f0s), tp5, state["noise"],
+                    fs=fs5, fft_size=ck5.fft_size,
+                    max_half_window=ck5.max_half_window,
+                    frame_period_s=0.005 * dur_scale,
+                    out_length=out_len5, max_pulses=state["mp"], mesh=None)
+                ys.append(y)
+            jax.block_until_ready(ys)
+            return ys
+
+        y = pipeline(1)[0]
+        assert bool(jnp.all(jnp.isfinite(y))), "non-finite output"
+        walls = []
+        for _ in range(2):
+            t0 = time.time()
+            pipeline(n_batches)
+            walls.append(time.time() - t0)
+        rtf5 = round(n_batches * audio_seconds / min(walls), 2)
+        configs["5_corpus_pitch_duration_8x3s_22k"] = {
+            "rtf": rtf5, "cpp_rtf": cpp_rtf5,
+            "pitch_scale": pitch_scale, "duration_scale": dur_scale}
+
+    headline = rtf5 if rtf5 is not None else max(
+        (c["rtf"] for c in configs.values()), default=0.0)
+    base = cpp_rtf5 or FALLBACK_CPP_RTF
     print(json.dumps({
         "metric": "analysis+resynthesis real-time factor per chip "
-                  "(pipelined corpus stream, 3x batches of 8x3s 22.05kHz, "
-                  "float32, full Harvest+CheapTrick+D4C+Synthesis)",
-        "value": round(rtf, 2),
+                  "(corpus stream with pitch/duration manipulation, "
+                  "3x batches of 8x3s 22.05kHz, float32, full "
+                  "Harvest+CheapTrick+D4C+Synthesis)",
+        "value": headline,
         "unit": "x realtime",
-        "vs_baseline": round(rtf / CPP_REFERENCE_RTF, 2),
+        "vs_baseline": round(headline / base, 2),
+        "configs": configs,
+        "quality": quality,
+        "cpp_baseline_measured": bench_bin is not None,
     }))
     return 0
 

@@ -576,7 +576,7 @@ def refine_stage(y, cand, tpos, *, geo, chunk=16):
     # (disjoint regions, unique within each; only [:cap] is consumed)
     slot = jnp.where(active, rank, S + nrank)
     sel_wide = jnp.zeros((F, 2 * S), jnp.int32).at[rows, slot].set(
-        cols, unique_indices=True)
+        cols.astype(jnp.int32), unique_indices=True)
     sel = sel_wide[:, :cap]
     n_active = jnp.sum(active, axis=1, keepdims=True)
     valid = jnp.arange(cap)[None, :] < jnp.minimum(n_active, cap)

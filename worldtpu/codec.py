@@ -91,12 +91,10 @@ def code_spectral_envelope(spectrogram, *, fs, fft_size, n_dims):
     mel_sp = jax.vmap(lambda v: interp1(freq_mel, v, mel_axis))(logsp)
 
     # even-odd repack + rfft = DCT (reference DCTForCodec :72-87)
-    half = max_dim // 2
     even = mel_sp[:, 0::2]                                  # mel[2i]
     odd = mel_sp[:, 1::2][:, ::-1]                          # mel[max-1-2i]
     packed = jnp.concatenate([even, odd], axis=-1)          # [F, max_dim]
     S = jnp.fft.rfft(packed, axis=-1)                       # [F, max/2+1]
-    del half
 
     i = jnp.arange(n_dims, dtype=dt)
     w0 = 2.0 * jnp.cos(i * C.PI / fft_size) / math.sqrt(fft_size)

@@ -264,9 +264,19 @@ def d4c_frames(x, f0, temporal_positions, *, fs, fft_size_out, threshold=0.85,
     seg = sgd[:, gather] * nuttall[None, None, :]             # [F, B, Wl]
     spec_b = jnp.fft.rfft(seg, n=fft_d4c, axis=-1)            # [F,B,Kd]
     ps_b = (spec_b.real ** 2 + spec_b.imag ** 2).astype(dt)
-    ps_sorted = jnp.sort(ps_b, axis=-1)
-    cum_b = jnp.cumsum(ps_sorted, axis=-1)
-    ca = 10.0 * jnp.log10(cum_b[..., Kd - boundary - 2] / cum_b[..., Kd - 1])
+    if dt == jnp.float64:
+        # parity path: the reference's literal sort + ascending cumsum
+        # (d4c.cpp:494-499)
+        ps_sorted = jnp.sort(ps_b, axis=-1)
+        cum_b = jnp.cumsum(ps_sorted, axis=-1)
+        lo, hi = cum_b[..., Kd - boundary - 2], cum_b[..., Kd - 1]
+    else:
+        # f32 path: cum[Kd-b-2] of the ascending sort is total minus the
+        # top (boundary+1) values — top_k beats a full [F,B,Kd] sort
+        hi = jnp.sum(ps_b, axis=-1)
+        top, _ = jax.lax.top_k(ps_b, boundary + 1)
+        lo = hi - jnp.sum(top, axis=-1)
+    ca = 10.0 * jnp.log10(lo / hi)
     ca = jnp.minimum(0.0, ca + (f0d[:, None] - 100.0) / 50.0)  # [F,B]
 
     # ---- coarse -> full-resolution bins (reference :160-168) ----

@@ -84,7 +84,7 @@ def love_train_ap0(x, f0, temporal_positions, *, fs, lt_dither=None):
 
 def _windowed_waveform(x, f0, position, fs, window_type, ratio, max_half,
                        dtype, frame_seg=None, seg_origin=None, seg_pad=0,
-                       dither=None):
+                       dither=None, aligned=False):
     """D4C::getWindowedWaveform (:246-303), left-aligned and padded to
     2*max_half+1 columns.  Returns [F, W] masked windowed waveform.
 
@@ -98,21 +98,42 @@ def _windowed_waveform(x, f0, position, fs, window_type, ratio, max_half,
     ``randn() * kMySafeGuardMinimum`` injection (:291)."""
     half = _matlab_round(ratio * fs / f0 / 2.0)            # [F]
     W = 2 * max_half + 1
-    j = jnp.arange(W, dtype=jnp.int32)
-    base = j - half[:, None]                                # base_index, masked
-    in_win = j[None, :] <= 2 * half[:, None]
-    origin = _matlab_round(position * fs + 0.001)
-    if frame_seg is None:
-        safe = jnp.clip(origin[:, None] + base, 0, x.shape[0] - 1)
-        seg = x[safe]
+    # `aligned` asserts round(position*fs+0.001) == seg_origin (the window
+    # sits exactly at the segment center) — true for the LoveTrain and
+    # smoothed-power windows, false for the +-0.25/f0-shifted centroids
+    centered = aligned and dither is None and frame_seg is not None
+    if centered:
+        # fast path: window positions m = base_index in [-half, half] laid
+        # out CENTERED at column max_half.  The windows below only ever use
+        # masked/symmetric quantities, so centering is exact — and the
+        # segment read becomes a STATIC middle slice of frame_seg instead
+        # of a per-frame-shifted take_along_axis (a [F, W] gather that
+        # dominated D4C's device time).  The left-aligned layout remains
+        # for the dither parity path, whose draw order is left-aligned.
+        j = jnp.arange(W, dtype=jnp.int32)
+        base = (j - max_half)[None, :]                      # [1, W]
+        in_win = jnp.abs(j - max_half)[None, :] <= half[:, None]
+        origin = _matlab_round(position * fs + 0.001)
+        # frame_seg was gathered at clip(seg_origin + m) and
+        # origin == seg_origin by construction (same rounding formula)
+        d0 = seg_pad  # frame_seg center is at column max_half + seg_pad
+        seg = frame_seg[:, d0:d0 + W]
     else:
-        # x index = origin + base; segment covers
-        # seg_origin - (max_half+seg_pad) .. + (max_half+seg_pad), and the
-        # segment was gathered with the same clip
-        off = origin - seg_origin + max_half + seg_pad
-        idx = jnp.clip(off[:, None] + base, 0,
-                       frame_seg.shape[1] - 1)
-        seg = jnp.take_along_axis(frame_seg, idx, axis=1)
+        j = jnp.arange(W, dtype=jnp.int32)
+        base = j - half[:, None]                            # base_index
+        in_win = j[None, :] <= 2 * half[:, None]
+        origin = _matlab_round(position * fs + 0.001)
+        if frame_seg is None:
+            safe = jnp.clip(origin[:, None] + base, 0, x.shape[0] - 1)
+            seg = x[safe]
+        else:
+            # x index = origin + base; segment covers
+            # seg_origin - (max_half+seg_pad) .. + (max_half+seg_pad), and
+            # the segment was gathered with the same clip
+            off = origin - seg_origin + max_half + seg_pad
+            idx = jnp.clip(off[:, None] + base, 0,
+                           frame_seg.shape[1] - 1)
+            seg = jnp.take_along_axis(frame_seg, idx, axis=1)
 
     pos = (2.0 / ratio / fs) * base.astype(dtype)
     pf = C.PI * f0[:, None] * pos
@@ -188,7 +209,7 @@ def d4c_frames(x, f0, temporal_positions, *, fs, fft_size_out, threshold=0.85,
     wave_lt = _windowed_waveform(x, f0lt, pos, fs, C.BLACKMAN, 3.0,
                                  max_half_lt, dt, frame_seg=fseg_lt,
                                  seg_origin=seg_origin, seg_pad=pad_lt,
-                                 dither=lt_dither)
+                                 dither=lt_dither, aligned=True)
     spec_lt = jnp.fft.rfft(wave_lt, n=fft_lt, axis=-1)
     ps_lt = (spec_lt.real ** 2 + spec_lt.imag ** 2).astype(dt)
     b0 = int(math.ceil(100.0 * fft_lt / fs))
@@ -227,7 +248,7 @@ def d4c_frames(x, f0, temporal_positions, *, fs, fft_size_out, threshold=0.85,
     wave_h = _windowed_waveform(x, f0d, pos, fs, C.HANNING, 4.0,
                                 max_half_c, dt, frame_seg=fseg_c,
                                 seg_origin=seg_origin, seg_pad=pad_c,
-                                dither=h_dither)
+                                dither=h_dither, aligned=True)
     spec_h = jnp.fft.rfft(wave_h, n=fft_d4c, axis=-1)
     sps = (spec_h.real ** 2 + spec_h.imag ** 2).astype(dt)
     sps = jax.vmap(

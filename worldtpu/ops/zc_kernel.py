@@ -49,6 +49,9 @@ def _round_up(x, m):
     return ((x + m - 1) // m) * m
 
 
+_round_up_static = _round_up
+
+
 class _GroupGeom:
     """Static geometry for one band group (contiguous row range whose
     maximum boundary frequency is bound_top)."""
@@ -137,25 +140,33 @@ def _zc_group_kernel(filt_ref, out_ref, colbuf, cnt_smem, *,
             rows.append(jnp.sum(jnp.where(sel, fine, 0.0), axis=0,
                                 keepdims=True))          # [1, Stot]
         chunkT = jnp.concatenate(rows, axis=0)           # [c_row, Stot]
+        s8 = _round_up_static(stot, 8)
+        if s8 != stot:
+            chunkT = jnp.concatenate(
+                [chunkT, jnp.zeros((c_row, s8 - stot), dt)], axis=1)
 
-        def store_col(s, carry):
-            # the chunk tile is carried and rotated left one lane per step,
-            # so column s is always read at static lane 0 (Mosaic has no
-            # dynamic-lane indexing)
+        def store_blk(s, carry):
+            # 8 columns per step: lanes 0..7 are STATIC slices, then one
+            # 8-lane rotate — 8x fewer full-tile shuffles than rolling one
+            # lane at a time (Mosaic has no dynamic-lane indexing, so the
+            # carried tile rotation is how columns reach lane 0)
             off, tile = carry
-            col = tile[:, 0:1]
-            rc = jnp.sum((col > 0.0).astype(jnp.int32), dtype=jnp.int32)
-
-            @pl.when(rc > 0)
-            def _():
+            for j in range(8):
+                col = tile[:, j:j + 1]
+                rc = jnp.sum((col > 0.0).astype(jnp.int32),
+                             dtype=jnp.int32)
                 o = jnp.minimum(off, e_cap - c_row)
+                # unconditional store: an empty column writes c_row infs at
+                # `off` without advancing it — the next nonempty column
+                # overwrites them, and trailing infs equal the buffer's
+                # init value
                 colbuf[pl.ds(o, c_row), t:t + 1] = jnp.where(
                     col > 0.0, col, jnp.inf)
-
-            return off + rc, pltpu.roll(tile, stot - 1, axis=1)
+                off = off + rc
+            return off, pltpu.roll(tile, s8 - 8, axis=1)
 
         cnt, _ = jax.lax.fori_loop(
-            0, stot, store_col, (jnp.int32(0), chunkT))
+            0, s8 // 8, store_blk, (jnp.int32(0), chunkT))
         cnt_smem[t] = cnt
 
     # ---- phase 2: locations/intervals + merge-sweep interpolation ----

@@ -238,8 +238,44 @@ def d4c_frames(x, f0, temporal_positions, *, fs, fft_size_out, threshold=0.85,
         s2 = jnp.fft.rfft(w * ramp[None, :], n=fft_d4c, axis=-1)
         return (s1.real * s2.real + s1.imag * s2.imag).astype(dt)
 
-    static_centroid = (centroid(pos - 0.25 / f0d, c1_dither)
-                       + centroid(pos + 0.25 / f0d, c2_dither))
+    def centroid_shifted(at, half_c):
+        """Gather-free centroid: the +-0.25/f0 window shift is absorbed into
+        the window evaluation over the FULL static segment (no per-frame
+        take_along_axis), and the position-weighted spectrum is recovered
+        by linearity: the reference's ramp at sample k is
+        k - origin_c + half + 1, which in segment coordinates i is
+        i + (half - d - max_half - pad + 1) with d = origin_c - seg_origin;
+        FFT(w*(i+Delta)) = FFT(w*i) + Delta*FFT(w), and the layout's
+        constant shift phase cancels in the conj(S1)*S2 product."""
+        d_f = _matlab_round(at * fs + 0.001) - seg_origin     # [F] ints
+        Wc = fseg_c.shape[1]
+        i_c = jnp.arange(Wc, dtype=jnp.int32)[None, :]
+        m = i_c - (max_half_c + pad_c) - d_f[:, None]         # base_index
+        in_w = jnp.abs(m) <= half_c[:, None]
+        posw = (2.0 / 4.0 / fs) * m.astype(dt)
+        pf = C.PI * f0d[:, None] * posw
+        win = 0.42 + 0.5 * jnp.cos(pf) + 0.08 * jnp.cos(2.0 * pf)
+        win = jnp.where(in_w, win, 0.0)
+        wave = jnp.where(in_w, fseg_c * win, 0.0)
+        weight = (jnp.sum(wave, -1, keepdims=True)
+                  / jnp.sum(win, -1, keepdims=True))
+        w = jnp.where(in_w, wave - win * weight, 0.0)
+        power = jnp.sqrt(jnp.sum(w * w, -1, keepdims=True))
+        w = w / power
+        s1 = jnp.fft.rfft(w, n=fft_d4c, axis=-1)
+        s2 = jnp.fft.rfft(w * i_c.astype(dt), n=fft_d4c, axis=-1)
+        base = s1.real * s2.real + s1.imag * s2.imag
+        delta = (half_c - d_f - max_half_c - pad_c + 1).astype(dt)
+        p1 = s1.real * s1.real + s1.imag * s1.imag
+        return (base + delta[:, None] * p1).astype(dt)
+
+    if c1_dither is None and c2_dither is None:
+        half_c = _matlab_round(4.0 * fs / f0d / 2.0)
+        static_centroid = (centroid_shifted(pos - 0.25 / f0d, half_c)
+                           + centroid_shifted(pos + 0.25 / f0d, half_c))
+    else:
+        static_centroid = (centroid(pos - 0.25 / f0d, c1_dither)
+                           + centroid(pos + 0.25 / f0d, c2_dither))
     static_centroid = jax.vmap(
         lambda p, f: filters.dc_correction(p, f, fs, fft_d4c))(
             static_centroid, f0d)

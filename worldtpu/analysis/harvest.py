@@ -514,18 +514,36 @@ def _refine_chunk(y, cand, pos, geo):
         # read, so evaluating them directly is ~300x less FLOPs and HBM
         # traffic than a full [2P, W] @ [W, 2K] matmul-DFT whose [2P, 2K]
         # spectra round-trip through HBM (measured: that materialization
-        # dominated the refine stage).  The phase is reduced exactly in
-        # int32 ((bin*m) mod N < 2^31) so f32 trig sees arguments in
-        # [0, 2pi) — better conditioned than the f32 basis at j*k ~ 1e6.
-        mm = jnp.arange(Wmax, dtype=jnp.int32)
-        prod = (gbin[:, :, None] * mm[None, None, :]) % geo.refine_fft
-        ang = (2.0 * C.PI / geo.refine_fft) * prod.astype(dt)  # [P, 6, W]
-        cosb = jnp.cos(ang)
-        sinb = jnp.sin(ang)
-        Sm_re = jnp.sum(main[:, None, :] * cosb, -1)
-        Sm_im = -jnp.sum(main[:, None, :] * sinb, -1)
-        Sd_re = jnp.sum(diff[:, None, :] * cosb, -1)
-        Sd_im = -jnp.sum(diff[:, None, :] * sinb, -1)
+        # dominated the refine stage).  The sample index is split
+        # m = 128q + r so the twiddles factor into [P,6,128] inner and
+        # [P,6,Q] outer tables — ~30x fewer transcendentals than a full
+        # [P,6,W] cos/sin grid, with the phase reduced exactly in int32
+        # ((bin*m) mod N < 2^31) so f32 trig sees arguments in [0, 2pi).
+        R = 128
+        Q = -(-Wmax // R)
+        padw = Q * R - Wmax
+        N = geo.refine_fft
+        main_q = jnp.pad(main, ((0, 0), (0, padw))).reshape(P, Q, R)
+        diff_q = jnp.pad(diff, ((0, 0), (0, padw))).reshape(P, Q, R)
+        rr = jnp.arange(R, dtype=jnp.int32)
+        qq = jnp.arange(Q, dtype=jnp.int32)
+        a_in = ((2.0 * C.PI / N)
+                * ((gbin[:, :, None] * rr[None, None, :]) % N).astype(dt))
+        ci, si = jnp.cos(a_in), jnp.sin(a_in)              # [P, 6, R]
+        a_out = ((2.0 * C.PI / N)
+                 * ((gbin[:, :, None] * (R * qq)[None, None, :]) % N
+                    ).astype(dt))
+        co, so = jnp.cos(a_out), jnp.sin(a_out)            # [P, 6, Q]
+        # inner sums over r: S_r = A - iB per (pair, harmonic, q)
+        Am = jnp.sum(main_q[:, None, :, :] * ci[:, :, None, :], -1)
+        Bm = jnp.sum(main_q[:, None, :, :] * si[:, :, None, :], -1)
+        Ad = jnp.sum(diff_q[:, None, :, :] * ci[:, :, None, :], -1)
+        Bd = jnp.sum(diff_q[:, None, :, :] * si[:, :, None, :], -1)
+        # outer combine with e^{-i theta 128 q}
+        Sm_re = jnp.sum(Am * co - Bm * so, -1)
+        Sm_im = -jnp.sum(Am * so + Bm * co, -1)
+        Sd_re = jnp.sum(Ad * co - Bd * so, -1)
+        Sd_im = -jnp.sum(Ad * so + Bd * co, -1)
         power = Sm_re ** 2 + Sm_im ** 2
         num_i = Sm_re * Sd_im - Sm_im * Sd_re
 

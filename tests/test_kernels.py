@@ -100,3 +100,42 @@ def test_synthesis_ola_kernel_path(fix):
     y_kernel = np.asarray(
         S.synthesis_frames_impl(*args, use_ola="interpret", **kw))
     np.testing.assert_allclose(y_kernel, y_scatter, rtol=2e-4, atol=1e-5)
+
+
+@pytest.mark.parametrize("fs,f0b", [(16000, 180.0), (22050, 120.0)])
+def test_refine_kernel_matches_jnp_path(fs, f0b):
+    """Adaptive Pallas refine (interpret) vs the dense jnp refine: same
+    active candidate sets per frame (compacted order differs by design),
+    values to f32 rounding."""
+    from worldtpu.analysis import harvest as H
+    from worldtpu.ops.refine_kernel import refine_stage_pallas
+
+    x = _vowel(fs, 0.5, f0b, 1)
+    geo = H.HarvestGeometry(fs, len(x))
+    y = H.decimate_stage(jnp.asarray(x), ratio=geo.ratio,
+                         y_length=geo.y_length)
+    ym = y - jnp.mean(y)
+    tpos = jnp.arange(geo.f0_length, dtype=jnp.float32) / 1000.0
+    cand, _, _ = H.candidates_stage(y, jnp.mean(y), tpos, geo=geo,
+                                    use_zc=False)
+    r0, s0 = H.refine_stage(ym, cand, tpos, geo=geo)
+    r1, s1 = refine_stage_pallas(ym, cand, tpos, geo=geo, interpret=True)
+    r0, s0 = np.asarray(r0), np.asarray(s0)
+    r1, s1 = np.asarray(r1), np.asarray(s1)
+    mismatch = 0
+    for f in range(r0.shape[0]):
+        a, b = np.sort(r0[f][r0[f] > 0]), np.sort(r1[f][r1[f] > 0])
+        if len(a) != len(b):
+            mismatch += 1   # knife-edge score-2.5 / floor-ceil flips
+            continue
+        if len(a):
+            np.testing.assert_allclose(b, a, rtol=2e-3)
+    assert mismatch <= max(2, r0.shape[0] // 200)
+
+    # scores travel with their candidates: check the (f0, score) pairing
+    f = int(np.argmax((r0 > 0).sum(axis=1)))
+    a = np.argsort(r0[f][r0[f] > 0])
+    b = np.argsort(r1[f][r1[f] > 0])
+    if len(a) == len(b) and len(a) > 0:
+        np.testing.assert_allclose(
+            np.sort(s1[f][r1[f] > 0]), np.sort(s0[f][r0[f] > 0]), rtol=0.2)

@@ -329,29 +329,27 @@ def _detect_candidates(raw, geo):
 
     st = jnp.concatenate(
         [jnp.zeros((F, 1), bool), v[:, 1:] & ~v[:, :-1]], axis=1)
-    ed = jnp.concatenate(
-        [jnp.zeros((F, 1), bool), ~v[:, 1:] & v[:, :-1]], axis=1)
 
+    # Scatter-free run statistics: XLA lowers a [F, Nb] scatter-add through
+    # a sort of all F*Nb updates (measured ~1/3 of the candidates stage);
+    # the same run sums/lengths fall out of a one-hot masked reduction that
+    # fuses into plain VPU loops.  NOTE: the C sums j in [st, ed) which
+    # equals the voiced run [st, ed-1], and ed-st == run length.
     smax = Nb // 2 + 2
     sid = jnp.cumsum(st, axis=1) - 1                       # [F, Nb]
-    frame_ix = jnp.arange(F)[:, None]
-
     vsid = jnp.where(v, sid, smax)
-    sums = jnp.zeros((F, smax + 1), raw.dtype).at[
-        frame_ix, vsid].add(jnp.where(v, r, 0.0))
-    lens = jnp.zeros((F, smax + 1), jnp.int32).at[
-        frame_ix, vsid].add(v.astype(jnp.int32))
+    ss = jnp.arange(smax)
+    oh = vsid[:, :, None] == ss[None, None, :]             # [F, Nb, smax]
+    sums = jnp.sum(jnp.where(oh, r[:, :, None], 0.0), axis=1)
+    lens = jnp.sum(oh, axis=1)
 
-    # NOTE: the C sums j in [st, ed) which equals the voiced run [st, ed-1]
-    # (ed is the first unvoiced band), and ed-st == run length.
-    valid = lens[:, :smax] >= 10
-    means = sums[:, :smax] / jnp.maximum(lens[:, :smax], 1)
+    valid = lens >= 10
+    means = sums / jnp.maximum(lens, 1)
 
     rank = jnp.cumsum(valid, axis=1) - 1
-    slot = jnp.where(valid & (rank < geo.cb), rank, geo.cb)
-    out = jnp.zeros((F, geo.cb + 1), raw.dtype).at[
-        frame_ix, slot].add(jnp.where(valid, means, 0.0))
-    return out[:, :geo.cb]
+    ohc = (valid & (rank < geo.cb))[:, :, None] \
+        & (rank[:, :, None] == jnp.arange(geo.cb)[None, None, :])
+    return jnp.sum(jnp.where(ohc, means[:, :, None], 0.0), axis=1)
 
 
 def _overlap_candidates(base):
@@ -648,8 +646,14 @@ def remove_unreliable_stage(cand, score):
 # fused device pipeline (one dispatch, one download)
 # ---------------------------------------------------------------------------
 
-@functools.partial(jax.jit, static_argnames=("geo", "chunk"))
-def harvest_device_stages(x, mean_y, *, geo, chunk=64):
+def _use_refine_kernel_default():
+    """The Pallas adaptive refine kernel is the production path on TPU; the
+    dense jnp chunked path remains for CPU (tests) and f64 parity."""
+    return jax.default_backend() == "tpu"
+
+
+@functools.partial(jax.jit, static_argnames=("geo", "chunk", "use_refine"))
+def harvest_device_stages(x, mean_y, *, geo, chunk=64, use_refine=None):
     """decimate -> candidates -> refine -> prune as ONE program.
 
     Returns a single flat [2*F*S] array (candidates ++ scores) so the
@@ -658,7 +662,16 @@ def harvest_device_stages(x, mean_y, *, geo, chunk=64):
     y = decimate_stage(x, ratio=geo.ratio, y_length=geo.y_length)
     tpos1 = jnp.arange(geo.f0_length, dtype=dtype) / 1000.0
     cand, _, _ = candidates_stage(y, mean_y, tpos1, geo=geo)
-    cand, score = refine_stage(y - mean_y, cand, tpos1, geo=geo, chunk=chunk)
+    if use_refine is None:
+        use_refine = (dtype == jnp.float32) and _use_refine_kernel_default()
+    if use_refine:
+        from worldtpu.ops.refine_kernel import refine_stage_pallas
+        cand, score = refine_stage_pallas(
+            y - mean_y, cand, tpos1, geo=geo,
+            interpret=(use_refine == "interpret"))
+    else:
+        cand, score = refine_stage(y - mean_y, cand, tpos1, geo=geo,
+                                   chunk=chunk)
     cand, score = remove_unreliable_stage(cand, score)
     return jnp.concatenate([cand.reshape(-1), score.reshape(-1)])
 

@@ -1,0 +1,225 @@
+"""Pallas TPU kernel: adaptive-width F0 refinement (Harvest stage D).
+
+Replaces the dense [frames, slots, Wmax] window/DFT slab of
+`worldtpu.analysis.harvest._refine_chunk`'s production path (reference
+refineF0Candidates/getRefinedF0, /root/reference/src/harvest.cpp:844-982)
+with a work-adaptive kernel: the dense formulation evaluates every one of
+the S = 7*Cb candidate slots over the worst-case window Wmax = 2*hwmax+1
+(553 samples at fs=22.05k, f0_floor=40), but per frame only ~10-40 slots
+are active and a typical candidate's true window 2*1.5*fs_a/f0+1 spans a
+fraction of Wmax.  Here each grid cell (one frame) loops over
+
+    ceil(n_active / 8) pair groups x ceil((2*hw_group+1) / 128) blocks
+
+with dynamic trip counts — compute scales with the actual candidate load
+and window widths (~5-10x less VPU work than the dense slab).
+
+Layout: 8 candidate pairs on sublanes x 128 window samples on lanes.  Per
+block the Blackman window, its centered difference, and the six harmonic
+DFT twiddles cos/sin((2*pi/N)*((gbin*m) mod N)) are evaluated on [8, 128]
+tiles, reduced over lanes, and accumulated into per-pair output lanes
+(lane 32*comp + h).  Phases are reduced exactly in int32, matching the jnp
+production path's conditioning; results agree with it to f32 rounding
+(tests compare the two directly).
+
+The instantaneous-frequency finishing math (harvest.cpp:907-939) runs in
+jnp on the kernel's [F, cap, 6] spectral sums — it is tiny and keeps the
+kernel free of data-dependent scoring.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from worldtpu import constants as C
+
+CAP = 64  # static refined-slot capacity (observed active max ~37)
+
+
+def _matlab_round(x):
+    return jnp.where(x > 0, jnp.floor(x + 0.5),
+                     jnp.ceil(x - 0.5)).astype(jnp.int32)
+
+
+def _refine_frame_kernel(f0_ref, seg_ref, out_ref, *,
+                         hwmax, n_fft, max_fft_index, fs_a, f0_dummy,
+                         delta_row):
+    f32 = jnp.float32
+    out_ref[...] = jnp.zeros_like(out_ref)
+    # per-frame scalars arrive through vector lanes (SMEM inputs cannot be
+    # batch-blocked under vmap): delta is replicated in seg's spare row,
+    # n_active is the count of nonzero compacted slots
+    deltav = jnp.broadcast_to(seg_ref[0, delta_row:delta_row + 1, :],
+                              (8, 128))
+    nact = jnp.sum((f0_ref[0] > 0.0).astype(jnp.int32))
+    ngroups = (nact + 7) // 8
+    lane = jax.lax.broadcasted_iota(jnp.int32, (8, 128), 1)
+    sub = jax.lax.broadcasted_iota(jnp.int32, (8, 128), 0)
+    two_pi = 2.0 * C.PI
+
+    def group(g, carry):
+        f0_raw = f0_ref[0, pl.ds(8 * g, 8), :]              # [8, 1]
+        f0 = jnp.where(f0_raw > 0.0, f0_raw, f0_dummy)
+        active = (sub + 8 * g) < nact                       # [8, 128]
+        hw = (1.5 * fs_a / f0 + 1.0).astype(jnp.int32)      # [8, 1]
+        wlf = (2 * hw + 1).astype(f32)
+        fidx = 2 + (jnp.log(wlf) / C.LOG2).astype(jnp.int32)
+        fftp_f = jnp.left_shift(1, fidx).astype(f32)
+        rshift = max_fft_index - fidx                       # ratio = 1<<rshift
+        gbins = []
+        for h in range(6):
+            xh = f0 * fftp_f / fs_a * (h + 1.0)
+            idx = _matlab_round(xh)
+            gbins.append(jnp.clip(jnp.left_shift(idx, rshift), 0, n_fft // 2))
+        hwg = jnp.max(hw)
+        jlo = jnp.maximum((hwmax - hwg) // 128, 0)
+        jhi = (hwmax + hwg) // 128
+
+        def block(j, acc):
+            s = seg_ref[0, pl.ds(j, 1), :]                  # [1, 128]
+            segb = jnp.broadcast_to(s, (8, 128))
+            m = 128 * j + lane                              # [8, 128] int32
+            mf = m.astype(f32) + deltav
+            dmm = m - hwmax
+
+            def winval(off):
+                inw = jnp.abs(dmm + off) <= hw
+                t2 = two_pi * (mf + off) / wlf
+                w = 0.42 + 0.5 * jnp.cos(t2) + 0.08 * jnp.cos(2.0 * t2)
+                return jnp.where(inw, w, 0.0)
+
+            mw = winval(0)
+            dw = jnp.where(jnp.abs(dmm) <= hw,
+                           -(winval(1) - winval(-1)) * 0.5, 0.0)
+            mainb = jnp.where(active, segb * mw, 0.0)
+            diffb = jnp.where(active, segb * dw, 0.0)
+            for h in range(6):
+                ang = (two_pi / n_fft) * ((gbins[h] * m) % n_fft).astype(f32)
+                cb = jnp.cos(ang)
+                sb = jnp.sin(ang)
+                for c, r in enumerate((
+                        jnp.sum(mainb * cb, axis=1, keepdims=True),
+                        -jnp.sum(mainb * sb, axis=1, keepdims=True),
+                        jnp.sum(diffb * cb, axis=1, keepdims=True),
+                        -jnp.sum(diffb * sb, axis=1, keepdims=True))):
+                    acc = acc + r * (lane == (32 * c + h)).astype(f32)
+            return acc
+
+        acc = jax.lax.fori_loop(jlo, jhi + 1, block,
+                                jnp.zeros((8, 128), f32))
+        out_ref[0, pl.ds(8 * g, 8), :] = acc
+        return carry
+
+    jax.lax.fori_loop(0, ngroups, group, jnp.int32(0))
+
+
+@functools.partial(jax.jit, static_argnames=("geo", "interpret"))
+def refine_stage_pallas(y, cand, tpos, *, geo, interpret=False):
+    """Adaptive refine for the production f32 path.
+
+    Drop-in for `harvest.refine_stage` EXCEPT that refined candidates come
+    back compacted (active slots lead each frame row, zero-padded to S) —
+    downstream consumers (pruning, contour search/fixing) use candidate
+    values and scores only, never slot positions, so the order change is
+    semantics-free; the f64 parity path keeps the reference layout.
+    """
+    dt = y.dtype
+    F, S = cand.shape
+    fs_a = float(geo.actual_fs)
+    hwmax = geo.max_half_window
+    n_fft = geo.refine_fft
+
+    # -- compaction: one-hot contraction (no scatter/sort) --
+    active = cand > 0.0
+    n_active = jnp.minimum(jnp.sum(active, axis=1), CAP)    # [F]
+    rank = jnp.where(active, jnp.cumsum(active, axis=1) - 1, -1)
+    oh = rank[:, :, None] == jnp.arange(CAP)[None, None, :]
+    cand_c = jnp.sum(jnp.where(oh, cand[:, :, None], 0.0), axis=1)
+    kk = jnp.arange(CAP)[None, :]
+    valid = kk < n_active[:, None]
+    # inactive dummy = f0_ceil: keeps the math finite with the narrowest
+    # possible window so padded pairs never widen a group's block range
+    # (the kernel applies the same dummy to its zero slots)
+    f0c = jnp.where(valid, cand_c, geo.f0_ceil).astype(dt)
+    f0_in = jnp.where(valid, cand_c, 0.0)
+
+    # -- frame segments + window-phase offsets --
+    origin = _matlab_round(tpos * fs_a + 0.001)             # [F]
+    r_seg = -(-(2 * hwmax + 1) // 128)
+    r8 = -(-(r_seg + 1) // 8) * 8                           # >=1 spare row
+    delta_row = r8 - 1
+    m = jnp.arange(r_seg * 128)
+    q = origin[:, None] - 1 - hwmax + m[None, :]
+    seg = y[jnp.clip(q, 0, geo.y_length - 1)]               # [F, r_seg*128]
+    delta = (origin - 1 - hwmax).astype(dt) - tpos * fs_a   # [F]
+    seg = jnp.concatenate([
+        seg.reshape(F, r_seg, 128),
+        jnp.zeros((F, r8 - r_seg - 1, 128), dt),
+        jnp.broadcast_to(delta[:, None, None], (F, 1, 128)),
+    ], axis=1)                                              # [F, r8, 128]
+
+    kern = functools.partial(
+        _refine_frame_kernel, hwmax=hwmax, n_fft=n_fft,
+        max_fft_index=geo.max_fft_index, fs_a=fs_a,
+        f0_dummy=float(geo.f0_ceil), delta_row=delta_row)
+    sums = pl.pallas_call(
+        kern,
+        grid=(F,),
+        in_specs=[
+            pl.BlockSpec((1, CAP, 1), lambda i: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, r8, 128), lambda i: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, CAP, 128), lambda i: (i, 0, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((F, CAP, 128), jnp.float32),
+        interpret=interpret,
+    )(f0_in[:, :, None].astype(jnp.float32), seg.astype(jnp.float32))
+
+    sm_re = sums[:, :, 0:6].astype(dt)
+    sm_im = sums[:, :, 32:38].astype(dt)
+    sd_re = sums[:, :, 64:70].astype(dt)
+    sd_im = sums[:, :, 96:102].astype(dt)
+
+    # -- finishing math (identical to harvest._refine_chunk :907-939) --
+    hw = (1.5 * fs_a / f0c + 1.0).astype(jnp.int32)
+    w_len = 2 * hw + 1
+    fft_index = 2 + (jnp.log(w_len.astype(dt)) / C.LOG2).astype(jnp.int32)
+    fft_p = jnp.left_shift(1, fft_index).astype(dt)
+    h = jnp.arange(6)
+    idx_h = _matlab_round(
+        f0c[:, :, None] * fft_p[:, :, None] / fs_a * (h[None, None, :] + 1.0))
+    n_harm = jnp.minimum((fs_a / 2.0 / f0c).astype(jnp.int32), 6)
+
+    power = sm_re ** 2 + sm_im ** 2
+    num_i = sm_re * sd_im - sm_im * sd_re
+    base_freq = idx_h.astype(dt) * fs_a / fft_p[:, :, None]
+    instf = jnp.where(power == 0.0, 0.0,
+                      base_freq + num_i / power * fs_a / (2.0 * C.PI))
+    amp = jnp.sqrt(power)
+    hmask = (h[None, None, :] < n_harm[:, :, None]).astype(dt)
+    numer = jnp.sum(amp * instf * hmask, axis=2)
+    denom = jnp.sum(amp * (h[None, None, :] + 1.0) * hmask, axis=2)
+    refined = numer / (denom + C.MY_SAFE_GUARD_MINIMUM)
+    dev = jnp.sum(jnp.abs(instf / (h[None, None, :] + 1.0) - f0c[:, :, None])
+                  / f0c[:, :, None] * hmask, axis=2)
+    score = 1.0 / (dev / jnp.maximum(n_harm, 1)
+                   + C.MY_SAFE_GUARD_MINIMUM)
+
+    bad = ((refined < geo.f0_floor) | (refined > geo.f0_ceil)
+           | (score < 2.5) | ~valid)
+    refined = jnp.where(bad, 0.0, refined)
+    score = jnp.where(bad, 0.0, score)
+    if S >= CAP:
+        refined = jnp.pad(refined, ((0, 0), (0, S - CAP)))
+        score = jnp.pad(score, ((0, 0), (0, S - CAP)))
+    else:
+        refined = refined[:, :S]
+        score = score[:, :S]
+    return refined, score

@@ -78,3 +78,33 @@ def test_d4c_dithered_parity(name):
         c2_dither=jnp.asarray(c2), h_dither=jnp.asarray(h)))
     err = np.abs(got - f.ap)
     assert err.max() < 1e-10, f"max abs err {err.max()}"
+
+
+def test_d4c_low_f0_shifted_centroid_no_truncation():
+    """The gather-free shifted centroid must equal the literal windowed
+    path even when a near-floor f0 pushes the +0.25/f0-shifted window past
+    fft_d4c segment samples (regression: rfft(n=fft_d4c) silently truncated
+    the tail; the fix folds it back circularly)."""
+    import jax.numpy as jnp
+    import numpy as np
+    from worldtpu.analysis.d4c import d4c_frames, d4c_max_half_c
+
+    fs = 22050
+    dur = 1.0
+    n = int(fs * dur)
+    t = np.arange(n) / fs
+    f0v = 48.0
+    x = np.sin(2 * np.pi * f0v * t) + 0.3 * np.sin(4 * np.pi * f0v * t)
+    x = (x * 0.4).astype(np.float64)
+    F = 1 + int(dur / 0.005)
+    tpos = np.arange(F) * 0.005
+    f0 = np.full(F, f0v)
+
+    kw = dict(fs=fs, fft_size_out=2048)
+    ap_fast = np.asarray(d4c_frames(
+        jnp.asarray(x), jnp.asarray(f0), jnp.asarray(tpos), **kw))
+    zeros = jnp.zeros((F, 2 * d4c_max_half_c(fs) + 1))
+    ap_lit = np.asarray(d4c_frames(
+        jnp.asarray(x), jnp.asarray(f0), jnp.asarray(tpos),
+        c1_dither=zeros, c2_dither=zeros, **kw))
+    np.testing.assert_allclose(ap_fast, ap_lit, rtol=2e-4, atol=2e-6)

@@ -262,8 +262,20 @@ def d4c_frames(x, f0, temporal_positions, *, fs, fft_size_out, threshold=0.85,
         w = jnp.where(in_w, wave - win * weight, 0.0)
         power = jnp.sqrt(jnp.sum(w * w, -1, keepdims=True))
         w = w / power
-        s1 = jnp.fft.rfft(w, n=fft_d4c, axis=-1)
-        s2 = jnp.fft.rfft(w * i_c.astype(dt), n=fft_d4c, axis=-1)
+
+        def wrap(v):
+            # the segment layout can push a low-f0 window past fft_d4c
+            # samples; rfft(n=fft_d4c) would TRUNCATE it.  The DFT phase
+            # e^{-2pi i k m / n} is n-periodic in m, so folding the tail
+            # back circularly computes the exact full-window sum
+            if v.shape[-1] <= fft_d4c:
+                return v
+            tail = v[:, fft_d4c:]
+            pad = fft_d4c - tail.shape[1]
+            return v[:, :fft_d4c] + jnp.pad(tail, ((0, 0), (0, pad)))
+
+        s1 = jnp.fft.rfft(wrap(w), n=fft_d4c, axis=-1)
+        s2 = jnp.fft.rfft(wrap(w * i_c.astype(dt)), n=fft_d4c, axis=-1)
         base = s1.real * s2.real + s1.imag * s2.imag
         delta = (half_c - d_f - max_half_c - pad_c + 1).astype(dt)
         p1 = s1.real * s1.real + s1.imag * s1.imag

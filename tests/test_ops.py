@@ -209,3 +209,20 @@ def test_xorshift_randn_stream():
     gen = XorshiftRandn()
     got = gen.draw(8)
     np.testing.assert_allclose(got, want, atol=2e-8)
+
+
+def test_dc_correction_frames_matches_per_frame():
+    """Batched low-bin-slice DCCorrection == vmapped full-spectrum one."""
+    import jax
+    import jax.numpy as jnp
+    from worldtpu.ops import filters
+
+    rng = np.random.RandomState(3)
+    N, K, fs, fft_size = 33, 1025, 22050, 2048
+    ps = jnp.asarray(np.abs(rng.randn(N, K)).astype(np.float32))
+    f0 = jnp.asarray((60 + 700 * rng.rand(N)).astype(np.float32))
+    ref = jax.vmap(
+        lambda p, f: filters.dc_correction(p, f, fs, fft_size))(ps, f0)
+    got = filters.dc_correction_frames(ps, f0, fs, fft_size, 1.2 * 800.0)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                               rtol=1e-6, atol=0)

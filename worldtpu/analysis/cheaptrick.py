@@ -87,8 +87,13 @@ def cheaptrick_frames(x, f0, temporal_positions, *, fs, fft_size,
     # ---- power spectrum + DC correction (:198-218) ----
     spec = jnp.fft.rfft(wave, n=fft_size, axis=-1)
     power = (spec.real * spec.real + spec.imag * spec.imag).astype(dt)
-    power = jax.vmap(
-        lambda p, f: filters.dc_correction(p, f, fs, fft_size))(power, cf0)
+    if dt == jnp.float64:   # parity path: literal per-frame rounding
+        power = jax.vmap(
+            lambda p, f: filters.dc_correction(p, f, fs, fft_size))(
+                power, cf0)
+    else:
+        power = filters.dc_correction_frames(
+            power, cf0, fs, fft_size, 1.2 * C.CEIL_F0)
 
     # ---- linear smoothing, width 2*f0/3 (:126) ----
     max_b = int(2.0 * 1.2 * C.CEIL_F0 / 3.0 * fft_size / fs) + 2

@@ -288,9 +288,15 @@ def d4c_frames(x, f0, temporal_positions, *, fs, fft_size_out, threshold=0.85,
     else:
         static_centroid = (centroid(pos - 0.25 / f0d, c1_dither)
                            + centroid(pos + 0.25 / f0d, c2_dither))
-    static_centroid = jax.vmap(
-        lambda p, f: filters.dc_correction(p, f, fs, fft_d4c))(
-            static_centroid, f0d)
+    def dc_corr(p):
+        if dt == jnp.float64:   # parity path: literal per-frame rounding
+            return jax.vmap(
+                lambda pi, f: filters.dc_correction(pi, f, fs, fft_d4c))(
+                    p, f0d)
+        return filters.dc_correction_frames(
+            p, f0d, fs, fft_d4c, 1.2 * f0_ceil_bound)
+
+    static_centroid = dc_corr(static_centroid)
 
     # ---- smoothed power spectrum (reference :411-434) ----
     wave_h = _windowed_waveform(x, f0d, pos, fs, C.HANNING, 4.0,
@@ -299,8 +305,7 @@ def d4c_frames(x, f0, temporal_positions, *, fs, fft_size_out, threshold=0.85,
                                 dither=h_dither, aligned=True)
     spec_h = jnp.fft.rfft(wave_h, n=fft_d4c, axis=-1)
     sps = (spec_h.real ** 2 + spec_h.imag ** 2).astype(dt)
-    sps = jax.vmap(
-        lambda p, f: filters.dc_correction(p, f, fs, fft_d4c))(sps, f0d)
+    sps = dc_corr(sps)
     max_b = int(1.2 * f0_ceil_bound * fft_d4c / fs) + 2
     sps = filters.linear_smoothing_frames(sps, f0d, fs, fft_d4c, max_b)
     if dt != jnp.float64:

@@ -249,17 +249,20 @@ def _zero_crossings(sig, n_eff, e_max, fs_a, tpos):
     return vals, count
 
 
-def _bandpass_kernels(geo, dt):
-    """Centered Nuttall*cos bandpass kernel bank [Nb, 2*Lmax+1].
-    Reference getFilteredSignal (:1261-1269); the kernels are symmetric, so
-    filtering == correlation with the centered kernel at lag n+1."""
-    Lmax = geo.max_filter_half
-    j = jnp.arange(2 * Lmax + 1)
+def _bandpass_kernels(geo, dt, lo=0, hi=None, half_max=None):
+    """Centered Nuttall*cos bandpass kernel bank [hi-lo, 2*half_max+1] for
+    bands [lo, hi).  Reference getFilteredSignal (:1261-1269); the kernels
+    are symmetric, so filtering == correlation with the centered kernel at
+    lag n+1."""
+    if hi is None:
+        hi = geo.n_channels
+    Lk = geo.max_filter_half if half_max is None else half_max
+    j = jnp.arange(2 * Lk + 1)
     halves = jnp.asarray(
-        [_matlab_round_py(geo.actual_fs / b * 2.0) for b in geo.boundary_f0],
-        jnp.int32)[:, None]
-    bounds = jnp.asarray(geo.boundary_f0, dt)[:, None]
-    m = j[None, :] - Lmax                       # centered tap index
+        [_matlab_round_py(geo.actual_fs / b * 2.0)
+         for b in geo.boundary_f0[lo:hi]], jnp.int32)[:, None]
+    bounds = jnp.asarray(geo.boundary_f0[lo:hi], dt)[:, None]
+    m = j[None, :] - Lk                         # centered tap index
     in_f = jnp.abs(m) <= halves
     tpos_w = (m + halves).astype(dt) / (2 * halves).astype(dt)
     win = (0.355768
@@ -268,6 +271,28 @@ def _bandpass_kernels(geo, dt):
            - 0.012604 * jnp.cos(6.0 * C.PI * tpos_w))
     t = m.astype(dt) / geo.actual_fs
     return jnp.where(in_f, win * jnp.cos(2.0 * C.PI * bounds * t), 0.0)
+
+
+def _conv_groups(geo):
+    """Split the band axis into contiguous groups whose kernel half-widths
+    share a power-of-two bucket: conv time scales with taps (measured ~4x
+    between 817 and 203 taps), and the log-spaced filter bank wastes ~2.5x
+    when every band pays the widest band's taps."""
+    halves = [_matlab_round_py(geo.actual_fs / b * 2.0)
+              for b in geo.boundary_f0]          # decreasing in band index
+    Lmax = geo.max_filter_half
+    groups = []
+    lo = 0
+    while lo < geo.n_channels:
+        cap = max(16, Lmax // 8)
+        while cap < halves[lo]:
+            cap *= 2
+        hi = lo
+        while hi < geo.n_channels and halves[hi] <= cap:
+            hi += 1
+        groups.append((lo, hi, min(cap, Lmax)))
+        lo = hi
+    return groups
 
 
 def _band_filter_fft(y_spectrum, boundary_f0, filter_half, geo, dt):
@@ -395,17 +420,19 @@ def candidates_stage(y, mean_y, tpos, *, geo, use_zc=None):
                 args[0], geo, tpos),
             (bounds, halves), batch_size=16)
     else:
-        # production path: one MXU convolution for the whole filter bank
-        # (mathematically identical to the circular route: the FFT buffer's
-        # zero padding makes the circular convolution linear)
-        Lmax = geo.max_filter_half
-        kern = _bandpass_kernels(geo, dt)             # [Nb, 2*Lmax+1]
-        ypad = jnp.pad(ym, (Lmax - 1, Lmax + 1))
-        filt = jax.lax.conv_general_dilated(
-            ypad[None, None, :], kern[:, None, :],
-            window_strides=(1,), padding="VALID",
-            dimension_numbers=("NCW", "OIW", "NCW"),
-            precision=jax.lax.Precision.HIGHEST)[0]  # [Nb, y_len]
+        # production path: MXU convolutions for the filter bank, grouped by
+        # kernel width (mathematically identical to the circular route: the
+        # FFT buffer's zero padding makes the circular convolution linear)
+        parts = []
+        for lo, hi, Lg in _conv_groups(geo):
+            kern = _bandpass_kernels(geo, dt, lo, hi, Lg)
+            ypad = jnp.pad(ym, (Lg - 1, Lg + 1))
+            parts.append(jax.lax.conv_general_dilated(
+                ypad[None, None, :], kern[:, None, :],
+                window_strides=(1,), padding="VALID",
+                dimension_numbers=("NCW", "OIW", "NCW"),
+                precision=jax.lax.Precision.HIGHEST)[0])
+        filt = jnp.concatenate(parts, axis=0)         # [Nb, y_len]
         if use_zc is None:
             use_zc = _use_zc_kernel_default()
         if use_zc:

@@ -290,6 +290,41 @@ def dc_correction(power_spectrum, f0, fs, fft_size):
     return power_spectrum + add
 
 
+def dc_correction_frames(power_spectra, f0, fs, fft_size, max_f0):
+    """Batched float32 DCCorrection over [N, K] frames.
+
+    The correction only touches bins below upper_limit-1 ~ f0*fft/fs + 1,
+    and its interpolation reads the spectrum below f0 — everything lives in
+    the first L = O(max_f0*fft/fs) bins.  vmapped `dc_correction` lowers as
+    a [N, K] random gather over the full spectrum (~100 ms per call on an
+    8x3s batch); restricting the gather to the [N, L] low-bin slice is the
+    same math at ~1/16 the touched elements.
+
+    Args:
+        power_spectra: [N, K].
+        f0: [N] per-frame F0; values are assumed <= max_f0.
+        max_f0: static bound on f0 (e.g. 1.2 * f0_ceil for pitch-scaled
+            contours), sizing the low-bin slice.
+    """
+    N, K = power_spectra.shape
+    dt = power_spectra.dtype
+    L = min(K, int(max_f0 * fft_size / fs) + 4)
+    ps = power_spectra[:, :L]
+    i = jnp.arange(L, dtype=dt)
+    f0 = f0.astype(dt)
+    upper_limit = 2 + (f0 * fft_size / fs).astype(jnp.int32)    # [N]
+    pos = f0[:, None] * fft_size / fs - i[None, :]              # [N, L]
+    base = pos.astype(jnp.int32)
+    frac = pos - base.astype(dt)
+    base_c = jnp.clip(base, 0, L - 2)
+    y0 = jnp.take_along_axis(ps, base_c, axis=1)
+    y1 = jnp.take_along_axis(ps, base_c + 1, axis=1)
+    replica = y0 + (y1 - y0) * frac
+    add = jnp.where(i[None, :] < (upper_limit[:, None] - 1).astype(dt),
+                    replica, 0.0)
+    return jnp.concatenate([ps + add, power_spectra[:, L:]], axis=1)
+
+
 def linear_smoothing(power_spectrum, width, fs, fft_size, max_boundary):
     """Rectangular smoothing of a power spectrum over ``width`` Hz.
 

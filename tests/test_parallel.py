@@ -145,3 +145,30 @@ def test_wav_to_wav_sharded():
     assert y.shape == (4, out_length)
     assert np.all(np.isfinite(y))
     assert np.sqrt(np.mean(y[0] ** 2)) > 0.05
+
+
+def test_batch_harvest_f0_device_contour_sharded():
+    """Sharded all-device wav->F0 (device stages + device contour under the
+    mesh) == unsharded compute_batch with device contour."""
+    from worldtpu.analysis import harvest as H
+
+    f = load_fixture("t16")
+    fs = f.fs
+    T = len(f.x)
+    x = np.tile(np.asarray(f.x, np.float32), (4, 1))
+    x[1] *= 0.5
+    x[3] *= 0.25
+    mesh = B.make_mesh(n_data=4, n_time=2)
+
+    hk = H.HarvestKernel(fs, T)
+    n_out = hk.get_samples()
+    f0_sh = np.asarray(B.batch_harvest_f0(
+        jnp.asarray(x), geo=hk.geo, n_out=n_out, mesh=mesh, chunk=16,
+        use_zc=False))
+    res = hk.compute_batch(x, contour_on="device", chunk=16)
+    f0_1 = np.stack([r[0] for r in res])
+    assert f0_sh.shape == (4, n_out)
+    np.testing.assert_allclose(f0_sh, f0_1, rtol=0, atol=1e-4)
+    v = f.f0 > 0
+    rmse = np.sqrt(np.mean((f0_sh[0][v] - f.f0[v]) ** 2))
+    assert rmse < 1.0, rmse

@@ -1,0 +1,369 @@
+"""Harvest F0-contour fixing and smoothing ON DEVICE (jnp, float32).
+
+Mirrors the host implementation in `worldtpu.analysis.contour` (itself a
+faithful port of fixF0Contour + smoothF0Contour,
+/root/reference/src/harvest.cpp:254-703) as one jittable program, so the
+production Harvest pipeline is wav -> F0 entirely on device: the
+device->host transfer shrinks from the full [F, S] candidate/score slab to
+the final frame-period F0 vector, and the contour stage joins the fused
+single-dispatch program (no host round trip, shards under the mesh).
+
+Sequential structure is preserved exactly where the reference is
+sequential — the extend walk's running reference F0 (:371-403), the
+un-reset mean_f0 accumulator (:446-452), the merge loop's evolving
+boundary (:502-536) — as lax.scans whose carried state is the loop
+variables; everything per-frame or per-section is vectorized.  Sections
+live in a static [S_max] layout with S_max = (F+1)//7 + 1 (a voiced
+section needs >= 6 frames + a gap after fixStep2).
+
+The float64 host path in `contour` remains the parity oracle; tests
+compare this module against it on fixture dumps and synthetic contours.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+def _runs(v):
+    """Voiced-run bookkeeping from a boundary mask [F] (endpoints already
+    forced False).  Returns (st_mask, ed_mask, rank) where rank[i] is the
+    run index of frame i (valid where v)."""
+    vprev = jnp.concatenate([jnp.zeros((1,), bool), v[:-1]])
+    vnext = jnp.concatenate([v[1:], jnp.zeros((1,), bool)])
+    st_mask = v & ~vprev
+    ed_mask = v & ~vnext
+    rank = jnp.cumsum(st_mask) - 1
+    return st_mask, ed_mask, rank
+
+
+def _positions(mask, s_max, fill):
+    """Compact the indices where mask holds into a static [s_max] slot
+    array (one-hot contraction, no scatter); empty slots get `fill`."""
+    F = mask.shape[0]
+    rank = jnp.cumsum(mask) - 1
+    r = jnp.where(mask, rank, s_max)
+    oh = r[:, None] == jnp.arange(s_max)[None, :]
+    pos = jnp.sum(jnp.where(oh, jnp.arange(F)[:, None], 0), axis=0)
+    have = jnp.arange(s_max) < jnp.sum(mask)
+    return jnp.where(have, pos, fill)
+
+
+def _vmask(f0):
+    v = f0 > 0.0
+    return v.at[0].set(False).at[-1].set(False)
+
+
+def search_f0_base(candidates, scores):
+    """Best-scoring candidate per frame (reference :254-272)."""
+    best = jnp.argmax(scores, axis=1)
+    rows = jnp.arange(candidates.shape[0])
+    f0 = candidates[rows, best]
+    return jnp.where(scores[rows, best] > 0.0, f0, 0.0)
+
+
+def fix_step1(f0_base, allowed_range=0.008):
+    """Rapid F0 changes -> 0 (reference :277-291)."""
+    f0 = f0_base
+    F = f0.shape[0]
+    out = jnp.zeros_like(f0)
+    ref = f0[1:-1] * 2 - f0[:-2]
+    cur = f0[2:]
+    prev = f0[1:-1]
+    bad = (jnp.abs((cur - ref) / ref) > allowed_range) \
+        & (jnp.abs(cur - prev) / prev > allowed_range)
+    vals = jnp.where(cur == 0.0, 0.0, jnp.where(bad, 0.0, cur))
+    return out.at[2:].set(vals) if F >= 3 else out
+
+
+def fix_step2(f0_step1, voice_range_minimum=6):
+    """Remove too-short voiced sections (reference :319-334)."""
+    v = _vmask(f0_step1)
+    st_mask, ed_mask, rank = _runs(v)
+    F = f0_step1.shape[0]
+    s_max = (F + 1) // 2 + 1
+    st = _positions(st_mask, s_max, F)
+    ed = _positions(ed_mask, s_max, -1)
+    # reference keeps sections with ed - st >= voice_range_minimum (:62)
+    span = ed - st
+    short = jnp.take(span, jnp.clip(rank, 0, s_max - 1)) \
+        < voice_range_minimum
+    return jnp.where(v & short, 0.0, f0_step1)
+
+
+def _select_best(ref_f0, cand_rows, allowed_range):
+    """Batched selectBestF0 (:347-365): nearest candidate within
+    allowed_range of each ref; ties keep the LAST equal-error candidate.
+
+    Args: ref_f0 [K], cand_rows [K, S].  Returns picked values [K]."""
+    err = jnp.abs(ref_f0[:, None] - cand_rows) / ref_f0[:, None]
+    m = jnp.min(err, axis=1)
+    S = cand_rows.shape[1]
+    idx = S - 1 - jnp.argmax((err == m[:, None])[:, ::-1], axis=1)
+    best = jnp.take_along_axis(cand_rows, idx[:, None], axis=1)[:, 0]
+    return jnp.where(m <= allowed_range, best, 0.0)
+
+
+def _extend_dir(ch, origin, limit, shift, n_sec, candidates, allowed_range,
+                s_max):
+    """Parallel extendF0 (:371-403) over all sections in one direction.
+
+    ch [s_max, F+1] channels (col F is a dump slot), origin/limit [s_max].
+    Returns (ch with extensions written, shifted origins)."""
+    F = candidates.shape[0]
+    distance = jnp.abs(limit - origin)
+    rows = jnp.arange(s_max)
+    tmp0 = ch[rows, jnp.clip(origin, 0, F - 1)]
+
+    def step(carry, i):
+        tmp, cnt, so, stopped = carry
+        j = origin + shift * (i + 1)
+        on = (rows < n_sec) & (i <= distance) & ~stopped
+        cand_rows = candidates[jnp.clip(j, 0, F - 1)]        # [s_max, S]
+        val = _select_best(jnp.where(tmp > 0, tmp, 1.0), cand_rows,
+                          allowed_range)
+        val = jnp.where(on, val, 0.0)
+        zero = val == 0.0
+        cnt = jnp.where(on, jnp.where(zero, cnt + 1, 0), cnt)
+        tmp = jnp.where(on & ~zero, val, tmp)
+        so = jnp.where(on & ~zero, j, so)
+        stopped = stopped | (on & (cnt == 4))
+        jw = jnp.where(on, jnp.clip(j, 0, F - 1), F)
+        return (tmp, cnt, so, stopped), (jw, val)
+
+    init = (tmp0, jnp.zeros((s_max,), jnp.int32), origin,
+            jnp.zeros((s_max,), bool))
+    (_, _, so, _), (js, vals) = jax.lax.scan(
+        step, init, jnp.arange(101, dtype=jnp.int32))
+    # write the walked values into the channels (dump column F for masked
+    # steps; within a section each step hits a distinct column)
+    ch = ch.at[rows[None, :], js].set(vals)
+    ch = ch.at[:, F].set(0.0)
+    return ch, so
+
+
+def fix_step3(f0_step2, candidates, scores, allowed_range=0.18):
+    """Extend voiced sections by contour continuity, then merge
+    (reference :560-585 + extend/merge :427-536)."""
+    F = f0_step2.shape[0]
+    s_max = (F + 1) // 7 + 1
+    v = _vmask(f0_step2)
+    st_mask, ed_mask, rank = _runs(v)
+    n_sec = jnp.sum(st_mask)
+    st = _positions(st_mask, s_max, F - 2)
+    ed = _positions(ed_mask, s_max, 1)
+    rows = jnp.arange(s_max)
+
+    # base channels [s_max, F+1] (extra dump column)
+    sid = jnp.where(v, rank, s_max)
+    ch = jnp.where(sid[None, :] == rows[:, None], f0_step2[None, :], 0.0)
+    ch = jnp.concatenate([ch, jnp.zeros((s_max, 1), f0_step2.dtype)], 1)
+
+    # ---- extend (:427-458) ----
+    ch, ed2 = _extend_dir(ch, ed, jnp.minimum(F - 2, ed + 100), 1,
+                          n_sec, candidates, allowed_range, s_max)
+    ch, st2 = _extend_dir(ch, st, jnp.maximum(1, st - 100), -1,
+                          n_sec, candidates, allowed_range, s_max)
+
+    # ---- extendSub: mean-based section filter (:440-458) ----
+    # NOTE: mean_f0 accumulates WITHOUT reset between sections
+    # (harvest.cpp:446-452), replicated including inf on empty sections
+    csum = jnp.cumsum(jnp.pad(ch[:, :F], ((0, 0), (1, 0))), axis=1)
+    ssum = (csum[rows, jnp.clip(ed2, 0, F)]
+            - csum[rows, jnp.clip(st2, 0, F)])      # sum over [st2, ed2)
+    length = (ed2 - st2).astype(f0_step2.dtype)
+
+    def mean_step(m, x):
+        s, n = x
+        m2 = (m + s) / n
+        return m2, m2
+    _, means = jax.lax.scan(mean_step, jnp.asarray(0.0, f0_step2.dtype),
+                            (ssum, length))
+    keep = (2200.0 / means < length) & (rows < n_sec)
+    n_ch = jnp.sum(keep)
+
+    # survivors to the front, preserving order (reference swapArray)
+    krank = jnp.where(keep, jnp.cumsum(keep) - 1, s_max - 1)
+    sel = jnp.sum(jnp.where(
+        krank[:, None] == rows[None, :], rows[:, None], 0), axis=0)
+    sel = jnp.where(rows < n_ch, sel, 0)
+    st3 = st2[sel]
+    ed3 = ed2[sel]
+    ch3 = ch[sel, :F]
+
+    # ---- merge (:502-536) ----
+    # per-channel searchScore precomputed once: the merge loop then only
+    # needs [F]-wide masked sums (merged's score travels with its values)
+    eq = candidates[None, :, :] == ch3[:, :, None]          # [s,F,S]
+    ss = jnp.max(jnp.where(eq, scores[None, :, :], -jnp.inf), axis=2)
+    ss = jnp.where(jnp.any(eq, axis=2), ss, 0.0)            # [s_max, F]
+
+    order = jnp.argsort(jnp.where(rows < n_ch, st3, F + rows))
+    fidx = jnp.arange(F)
+    merged0 = ch3[0]
+    mss0 = ss[0]
+
+    def merge_step(carry, i):
+        merged, mss, b0, b1 = carry
+        k = order[i]
+        on = i < n_ch
+        i1, i2 = st3[k], ed3[k]
+        in_sec = (fidx >= i1) & (fidx <= i2)
+        new_section = i1 - b1 > 0
+        covered = (b0 <= i1) & (b1 >= i2)
+        # scored merge (:475-497)
+        r = (fidx >= i1) & (fidx <= b1)
+        s1 = jnp.sum(jnp.where(r, mss, 0.0))
+        s2 = jnp.sum(jnp.where(r, ss[k], 0.0))
+        take_hi = (fidx >= b1) & (fidx <= i2)                # score1 wins
+        take_all = in_sec                                    # score2 wins
+        take = jnp.where(s1 > s2, take_hi, take_all)
+        upd = jnp.where(new_section, in_sec, jnp.where(covered, False, take))
+        upd = upd & on
+        merged = jnp.where(upd, ch3[k], merged)
+        mss = jnp.where(upd, ss[k], mss)
+        b0 = jnp.where(on & new_section, i1, b0)
+        b1 = jnp.where(on & (new_section | ~covered), i2,
+                       jnp.where(on & covered, b1, b1))
+        return (merged, mss, b0, b1), None
+
+    (merged, _, _, _), _ = jax.lax.scan(
+        merge_step, (merged0, mss0, st3[0], ed3[0]),
+        jnp.arange(1, s_max, dtype=jnp.int32))
+
+    out = jnp.where(n_ch == 0, ch[0, :F], merged)
+    return jnp.where(n_sec == 0, f0_step2, out)
+
+
+def fix_step4(f0_step3, threshold=9):
+    """Fill short unvoiced gaps linearly (reference :590-614)."""
+    F = f0_step3.shape[0]
+    v = _vmask(f0_step3)
+    st_mask, ed_mask, _ = _runs(v)
+    s_max = (F + 1) // 2 + 1
+    st = _positions(st_mask, s_max, F + 10)
+    ed = _positions(ed_mask, s_max, -10)
+    n_sec = jnp.sum(st_mask)
+    fidx = jnp.arange(F)
+    # gap g lies between ed[g] and st[g+1]
+    gprev = jnp.cumsum(ed_mask) - 1                  # [F]
+    g = jnp.clip(gprev, 0, s_max - 2)
+    ed_g = jnp.take(ed, g)
+    st_g1 = jnp.take(st, jnp.clip(g + 1, 0, s_max - 1))
+    in_gap = (~v) & (gprev >= 0) & (gprev <= n_sec - 2) \
+        & (fidx > ed_g) & (fidx < st_g1)
+    distance = st_g1 - ed_g - 1
+    tmp0 = jnp.take(f0_step3, jnp.clip(ed_g, 0, F - 1)) + 1.0
+    tmp1 = jnp.take(f0_step3, jnp.clip(st_g1, 0, F - 1)) - 1.0
+    coeff = (tmp1 - tmp0) / (distance + 1.0).astype(f0_step3.dtype)
+    fill = tmp0 + coeff * (fidx - ed_g).astype(f0_step3.dtype)
+    return jnp.where(in_gap & (distance < threshold), fill, f0_step3)
+
+
+_SMOOTH_B = (0.0078202080334971724, 0.015640416066994345)
+_SMOOTH_A = (1.7347257688092754, -0.76600660094326412)
+_LAG = 300
+
+
+@functools.lru_cache(maxsize=None)
+def _biquad_tables(L):
+    """Blocked-matmul tables for the smoothing biquad (state (w0, w1)):
+    w_t = x + a0 w0 + a1 w1, y = b0 w_t + b1 w0 + b0 w1."""
+    a0, a1 = _SMOOTH_A
+    b0, b1 = _SMOOTH_B
+    A = np.array([[a0, a1], [1.0, 0.0]])
+    e0 = np.array([1.0, 0.0])
+    # impulse response of the state w.r.t inputs within a block
+    # s_i = sum_{j<=i} A^{i-j} e0 x_j ; y_i = c . s_i_pre? — here y_i
+    # depends on the PRE-update state (w0, w1) and x_i:
+    # y_i = b0*(x_i + a0 w0 + a1 w1) + b1 w0 + b0 w1
+    #     = (b0 a0 + b1, b0 a1 + b0) . s_{i-1} + b0 x_i
+    c = np.array([b0 * a0 + b1, b0 * a1 + b0])
+    P = np.zeros((L + 1, 2, 2))
+    P[0] = np.eye(2)
+    for i in range(L):
+        P[i + 1] = A @ P[i]
+    # y_i = c . s_{i-1} + b0 x_i, s_{i-1} = A^i s_{-1} + sum_{j<i} A^{i-1-j} e0 x_j
+    G = np.stack([c @ P[i] for i in range(L)])              # [L, 2]
+    H = np.zeros((L, L))
+    for i in range(L):
+        H[i, i] = b0
+        for j in range(i):
+            H[i, j] = c @ P[i - 1 - j] @ e0
+    W = np.stack([P[L - 1 - j] @ e0 for j in range(L)])     # [L, 2]
+    AL = P[L]
+    return G, H.T, W, AL
+
+
+def _biquad_batch(x):
+    """One forward pass of the smoothing biquad over [B, T] rows, output
+    written REVERSED like the reference (filteringF0 harvest.cpp:649-656)."""
+    B, T = x.shape
+    dt = x.dtype
+    L = 128
+    nb = -(-T // L)
+    G, HT, W, AL = (jnp.asarray(t, dt) for t in _biquad_tables(L))
+    xb = jnp.pad(x, ((0, 0), (0, nb * L - T))).reshape(B, nb, L)
+    c = jnp.einsum("bnl,ls->bns", xb, W,
+                   precision=jax.lax.Precision.HIGHEST)     # [B, nb, 2]
+
+    def adv(s, ci):
+        s2 = jnp.einsum("st,bt->bs", AL, s,
+                        precision=jax.lax.Precision.HIGHEST) + ci
+        return s2, s
+    _, s0 = jax.lax.scan(adv, jnp.zeros((B, 2), dt),
+                         jnp.swapaxes(c, 0, 1))             # [nb, B, 2]
+    s0 = jnp.swapaxes(s0, 0, 1)                             # [B, nb, 2]
+    y = jnp.einsum("bns,ls->bnl", s0, G,
+                   precision=jax.lax.Precision.HIGHEST) \
+        + jnp.einsum("bnj,jl->bnl", xb, HT,
+                     precision=jax.lax.Precision.HIGHEST)
+    return y.reshape(B, nb * L)[:, :T][:, ::-1]
+
+
+def smooth_f0_contour(f0, s_max=None):
+    """Per-section zero-lag Butterworth smoothing (reference :670-703)."""
+    F = f0.shape[0]
+    n = F + 2 * _LAG
+    if s_max is None:
+        s_max = (F + 1) // 7 + 1
+    padded = jnp.pad(f0, (_LAG, _LAG))
+    v = _vmask(padded)
+    st_mask, ed_mask, rank = _runs(v)
+    st = _positions(st_mask, s_max, n - 1)
+    ed = _positions(ed_mask, s_max, 0)
+    rows = jnp.arange(s_max)
+    jidx = jnp.arange(n)
+    # edge-held per-section signals: x[clip(j, st, ed)] of the section run
+    gather = jnp.clip(jidx[None, :], st[:, None], ed[:, None])
+    chs = padded[gather]
+    chs = jnp.where((rows < jnp.sum(st_mask))[:, None], chs, 0.0)
+    sm = _biquad_batch(_biquad_batch(chs))
+    # compose: frame j (1 ms grid) reads its section's smoothed value
+    sid = jnp.where(v, rank, s_max - 1)
+    core = sid[_LAG:_LAG + F]
+    vals = sm[jnp.clip(core, 0, s_max - 1), jnp.arange(_LAG, _LAG + F)]
+    return jnp.where(v[_LAG:_LAG + F], vals, 0.0)
+
+
+def fix_and_smooth(candidates, scores, n_out, frame_period_ms):
+    """Full device contour chain: candidates/scores [F, S] -> F0 at the
+    output frame grid [n_out] (reference fixF0Contour + smoothF0Contour +
+    the 1 ms -> frame_period subsampling, harvest.cpp:183-208,619-634)."""
+    F = candidates.shape[0]
+    c1 = search_f0_base(candidates, scores)
+    c2 = fix_step1(c1, 0.008)
+    c1 = fix_step2(c2, 6)
+    c2 = fix_step3(c1, candidates, scores, 0.18)
+    best = fix_step4(c2, 9)
+    f0_1ms = smooth_f0_contour(best)
+    tpos = jnp.arange(n_out, dtype=candidates.dtype) \
+        * (frame_period_ms / 1000.0)
+    x = tpos * 1000.0
+    pick = jnp.minimum(F - 1, jnp.where(
+        x > 0, jnp.floor(x + 0.5), jnp.ceil(x - 0.5)).astype(jnp.int32))
+    return f0_1ms[pick]

@@ -709,6 +709,31 @@ harvest_device_stages_batch = jax.jit(
     static_argnums=(2, 3))
 
 
+@functools.partial(jax.jit, static_argnames=("geo", "n_out", "chunk",
+                                             "use_refine"))
+def harvest_device_full(x, mean_y, *, geo, n_out, chunk=64, use_refine=None):
+    """Full on-device Harvest: wav -> frame-period F0 [n_out].
+
+    Extends `harvest_device_stages` with the device contour chain
+    (analysis.contour_device), so a batch costs ONE dispatch and the
+    download is the F0 vector itself (vs the [F, S] candidate slab — 600x
+    less transfer; the host contour path remains for f64 parity)."""
+    from worldtpu.analysis import contour_device as CDV
+    flat = harvest_device_stages(x, mean_y, geo=geo, chunk=chunk,
+                                 use_refine=use_refine)
+    F, S = geo.f0_length, geo.max_candidates
+    cand = flat[:F * S].reshape(F, S)
+    score = flat[F * S:].reshape(F, S)
+    return CDV.fix_and_smooth(cand, score, n_out, geo.frame_period)
+
+
+harvest_device_full_batch = jax.jit(
+    jax.vmap(lambda x, m, geo, n_out, chunk: harvest_device_full(
+        x, m, geo=geo, n_out=n_out, chunk=chunk),
+        in_axes=(0, 0, None, None, None)),
+    static_argnums=(2, 3, 4))
+
+
 # ---------------------------------------------------------------------------
 # orchestration
 # ---------------------------------------------------------------------------
@@ -769,18 +794,28 @@ class HarvestKernel:
         return f0_1ms[pick], tpos
 
     def compute_batch(self, x_batch, dtype=jnp.float32, chunk=32,
-                      transfer_dtype=None):
+                      transfer_dtype=None, contour_on="device"):
         """Batched Harvest over [B, T] same-length utterances: one device
-        dispatch + one transfer for the whole batch, host contour per row.
+        dispatch + one transfer for the whole batch.
+
+        contour_on: "device" (default) runs the full contour chain on
+        device and downloads only the [B, n_out] F0 grid; "host" downloads
+        the [B, F, S] candidate slab and fixes the contour on the host.
 
         transfer_dtype: optional narrower dtype (e.g. jnp.float16) for the
-        device->host candidate/score download — halves transfer bytes at the
+        host-path candidate/score download — halves transfer bytes at the
         cost of ~5e-4 relative F0 quantization (still far under the 1 Hz
         accuracy target; scores above the f16 range saturate, which only
         reorders near-ties)."""
         g = self.geo
         x_batch = jnp.asarray(x_batch, dtype)
         mean = jnp.zeros((x_batch.shape[0],), dtype)
+        if contour_on == "device":
+            n_out = self.get_samples()
+            f0s = np.asarray(harvest_device_full_batch(
+                x_batch, mean, g, n_out, chunk)).astype(np.float64)
+            tpos = np.arange(n_out) * g.frame_period / 1000.0
+            return [(f0s[i], tpos) for i in range(x_batch.shape[0])]
         out = harvest_device_stages_batch(x_batch, mean, g, chunk)
         if transfer_dtype is not None:
             out = jnp.clip(
@@ -792,11 +827,29 @@ class HarvestKernel:
                 for i in range(x_batch.shape[0])]
 
     def compute_corpus(self, batches, dtype=jnp.float32, chunk=32,
-                       transfer_dtype=None):
+                       transfer_dtype=None, contour_on="device"):
         """Pipelined Harvest over an iterable of [B, T] batches: batch k+1's
-        device stages are dispatched (async) before batch k's download and
-        host contour run, overlapping host work with device compute."""
+        device stages are dispatched (async) before batch k's download,
+        overlapping downloads/host work with device compute."""
         g = self.geo
+        if contour_on == "device":
+            n_out = self.get_samples()
+            tpos = np.arange(n_out) * g.frame_period / 1000.0
+            pending = None
+            for xb in batches:
+                xb = jnp.asarray(xb, dtype)
+                mean = jnp.zeros((xb.shape[0],), dtype)
+                out = harvest_device_full_batch(xb, mean, g, n_out, chunk)
+                if pending is not None:
+                    f0s = np.asarray(pending).astype(np.float64)
+                    for i in range(f0s.shape[0]):
+                        yield f0s[i], tpos
+                pending = out
+            if pending is not None:
+                f0s = np.asarray(pending).astype(np.float64)
+                for i in range(f0s.shape[0]):
+                    yield f0s[i], tpos
+            return
         n = 2 * g.f0_length * g.max_candidates
         pending = None
         for xb in batches:

@@ -226,6 +226,29 @@ def batch_harvest_device_stages(x, *, geo, mesh, chunk=32, use_zc=None):
         out_specs=P("data", None))(x, kern_i, bounds_i)
 
 
+@functools.partial(
+    jax.jit, static_argnames=("geo", "n_out", "chunk", "use_zc", "mesh"))
+def batch_harvest_f0(x, *, geo, n_out, mesh, chunk=32, use_zc=None):
+    """Full sharded Harvest wav -> frame-period F0 [B, n_out]: the device
+    stages under the mesh (batch_harvest_device_stages) followed by the
+    on-device contour chain (analysis.contour_device), data-parallel per
+    utterance.  With this the whole wav->wav pipeline runs on device under
+    the mesh — no host round trip between Harvest and synthesis."""
+    from worldtpu.analysis import contour_device as CDV
+    flat = batch_harvest_device_stages(x, geo=geo, mesh=mesh, chunk=chunk,
+                                       use_zc=use_zc)
+    F, S = geo.f0_length, geo.max_candidates
+    cand = flat[:, :F * S].reshape(-1, F, S)
+    score = flat[:, F * S:].reshape(-1, F, S)
+    f0 = jax.vmap(
+        lambda c, s: CDV.fix_and_smooth(c, s, n_out, geo.frame_period))(
+            cand, score)
+    if mesh is not None:
+        f0 = jax.lax.with_sharding_constraint(
+            f0, NamedSharding(mesh, P("data", None)))
+    return f0
+
+
 def pad_batch(waves, fs, frame_period_ms=5.0):
     """Pad a list of 1-D waveforms to a [B, T] batch + frame geometry.
 

@@ -36,3 +36,22 @@ def test_cli_analyze_synthesize_roundtrip(tmp_path):
     assert fs == 22050
     assert np.isfinite(y).all()
     assert 0.01 < np.sqrt(np.mean(y ** 2)) < 1.0
+
+
+def test_npz_checkpoint_roundtrip(tmp_path):
+    """Native .npz parameter checkpoint (SURVEY §5 checkpoint/resume)."""
+    from worldtpu.io import params
+
+    rng = np.random.RandomState(0)
+    f0 = np.abs(rng.randn(7)) * 100
+    sp = np.abs(rng.randn(7, 9))
+    ap = np.clip(np.abs(rng.randn(7, 9)), 0, 1)
+    p = tmp_path / "chk.npz"
+    params.save_npz(p, f0=f0, spectrogram=sp, aperiodicity=ap,
+                    fs=16000, frame_period=5.0, fft_size=1024)
+    z = params.load_npz(p)
+    np.testing.assert_array_equal(z["f0"], f0)
+    np.testing.assert_array_equal(z["spectrogram"], sp)
+    np.testing.assert_array_equal(z["aperiodicity"], ap)
+    assert z["fs"] == 16000 and z["fft_size"] == 1024
+    assert z["frame_period"] == 5.0

@@ -113,3 +113,46 @@ def write_aperiodicity(path, aperiodicity, fs, frame_period, fft_size, nod=0):
 
 def read_aperiodicity(path):
     return _read_matrix(path, b"AP  ")
+
+
+def save_npz(path, *, f0=None, spectrogram=None, aperiodicity=None,
+             fs=None, frame_period=None, fft_size=None, compress=False):
+    """Native checkpoint: all analysis parameters in one .npz (SURVEY §5
+    checkpoint/resume row; the byte-compatible tagged-binary writers above
+    remain the reference-interchange path).
+
+    Any subset of f0/spectrogram/aperiodicity may be given; metadata
+    scalars are stored alongside.  Arrays may be [F, ...] single utterances
+    or [B, F, ...] batches."""
+    data = {}
+    if f0 is not None:
+        data["f0"] = np.asarray(f0)
+    if spectrogram is not None:
+        data["spectrogram"] = np.asarray(spectrogram)
+    if aperiodicity is not None:
+        data["aperiodicity"] = np.asarray(aperiodicity)
+    if fs is not None:
+        data["fs"] = np.asarray(int(fs))
+    if frame_period is not None:
+        data["frame_period"] = np.asarray(float(frame_period))
+    if fft_size is not None:
+        data["fft_size"] = np.asarray(int(fft_size))
+    save = np.savez_compressed if compress else np.savez
+    save(path, **data)
+
+
+def load_npz(path):
+    """Load a save_npz checkpoint.  Returns a dict with whichever of
+    f0/spectrogram/aperiodicity/fs/frame_period/fft_size were stored
+    (metadata scalars as python int/float)."""
+    out = {}
+    with np.load(path) as z:
+        for k in z.files:
+            v = z[k]
+            if k == "fs" or k == "fft_size":
+                out[k] = int(v)
+            elif k == "frame_period":
+                out[k] = float(v)
+            else:
+                out[k] = v
+    return out

@@ -43,12 +43,10 @@ def _runs(v):
 
 def _positions(mask, s_max, fill):
     """Compact the indices where mask holds into a static [s_max] slot
-    array (one-hot contraction, no scatter); empty slots get `fill`."""
+    array; empty slots get `fill`.  Sort-based: O(F log F) regardless of
+    s_max (a [F, s_max] one-hot is quadratic in F for run bookkeeping)."""
     F = mask.shape[0]
-    rank = jnp.cumsum(mask) - 1
-    r = jnp.where(mask, rank, s_max)
-    oh = r[:, None] == jnp.arange(s_max)[None, :]
-    pos = jnp.sum(jnp.where(oh, jnp.arange(F)[:, None], 0), axis=0)
+    pos = jnp.sort(jnp.where(mask, jnp.arange(F), F))[:s_max]
     have = jnp.arange(s_max) < jnp.sum(mask)
     return jnp.where(have, pos, fill)
 
@@ -81,17 +79,18 @@ def fix_step1(f0_base, allowed_range=0.008):
 
 
 def fix_step2(f0_step1, voice_range_minimum=6):
-    """Remove too-short voiced sections (reference :319-334)."""
+    """Remove too-short voiced sections (reference :319-334).
+
+    Per-frame run spans via running max/min of start/end positions — no
+    section axis at all."""
     v = _vmask(f0_step1)
-    st_mask, ed_mask, rank = _runs(v)
+    st_mask, ed_mask, _ = _runs(v)
     F = f0_step1.shape[0]
-    s_max = (F + 1) // 2 + 1
-    st = _positions(st_mask, s_max, F)
-    ed = _positions(ed_mask, s_max, -1)
+    idx = jnp.arange(F)
+    st_of = jax.lax.cummax(jnp.where(st_mask, idx, -1))
+    ed_of = -jax.lax.cummax(jnp.where(ed_mask, -idx, -F)[::-1])[::-1]
     # reference keeps sections with ed - st >= voice_range_minimum (:62)
-    span = ed - st
-    short = jnp.take(span, jnp.clip(rank, 0, s_max - 1)) \
-        < voice_range_minimum
+    short = (ed_of - st_of) < voice_range_minimum
     return jnp.where(v & short, 0.0, f0_step1)
 
 
@@ -108,12 +107,15 @@ def _select_best(ref_f0, cand_rows, allowed_range):
     return jnp.where(m <= allowed_range, best, 0.0)
 
 
-def _extend_dir(ch, origin, limit, shift, n_sec, candidates, allowed_range,
-                s_max):
+def _extend_dir(ch, ss, origin, limit, shift, n_sec, candidates, scores,
+                allowed_range, s_max):
     """Parallel extendF0 (:371-403) over all sections in one direction.
 
-    ch [s_max, F+1] channels (col F is a dump slot), origin/limit [s_max].
-    Returns (ch with extensions written, shifted origins)."""
+    ch/ss [s_max, F+1] channels + their searchScore shadows (col F is a
+    dump slot), origin/limit [s_max].  Each walked value's searchScore
+    (:463-470) is computed here from the already-gathered candidate/score
+    rows, so the merge step never needs a [s_max, F, S] comparison.
+    Returns (ch, ss with extensions written, shifted origins)."""
     F = candidates.shape[0]
     distance = jnp.abs(limit - origin)
     rows = jnp.arange(s_max)
@@ -123,27 +125,34 @@ def _extend_dir(ch, origin, limit, shift, n_sec, candidates, allowed_range,
         tmp, cnt, so, stopped = carry
         j = origin + shift * (i + 1)
         on = (rows < n_sec) & (i <= distance) & ~stopped
-        cand_rows = candidates[jnp.clip(j, 0, F - 1)]        # [s_max, S]
+        jc = jnp.clip(j, 0, F - 1)
+        cand_rows = candidates[jc]                           # [s_max, S]
         val = _select_best(jnp.where(tmp > 0, tmp, 1.0), cand_rows,
                           allowed_range)
         val = jnp.where(on, val, 0.0)
+        score_rows = scores[jc]
+        m = cand_rows == val[:, None]
+        sc = jnp.max(jnp.where(m, score_rows, -jnp.inf), axis=1)
+        sc = jnp.where(jnp.any(m, axis=1), sc, 0.0)
         zero = val == 0.0
         cnt = jnp.where(on, jnp.where(zero, cnt + 1, 0), cnt)
         tmp = jnp.where(on & ~zero, val, tmp)
         so = jnp.where(on & ~zero, j, so)
         stopped = stopped | (on & (cnt == 4))
-        jw = jnp.where(on, jnp.clip(j, 0, F - 1), F)
-        return (tmp, cnt, so, stopped), (jw, val)
+        jw = jnp.where(on, jc, F)
+        return (tmp, cnt, so, stopped), (jw, val, sc)
 
     init = (tmp0, jnp.zeros((s_max,), jnp.int32), origin,
             jnp.zeros((s_max,), bool))
-    (_, _, so, _), (js, vals) = jax.lax.scan(
+    (_, _, so, _), (js, vals, scs) = jax.lax.scan(
         step, init, jnp.arange(101, dtype=jnp.int32))
     # write the walked values into the channels (dump column F for masked
     # steps; within a section each step hits a distinct column)
     ch = ch.at[rows[None, :], js].set(vals)
     ch = ch.at[:, F].set(0.0)
-    return ch, so
+    ss = ss.at[rows[None, :], js].set(scs)
+    ss = ss.at[:, F].set(0.0)
+    return ch, ss, so
 
 
 def fix_step3(f0_step2, candidates, scores, allowed_range=0.18):
@@ -158,16 +167,31 @@ def fix_step3(f0_step2, candidates, scores, allowed_range=0.18):
     ed = _positions(ed_mask, s_max, 1)
     rows = jnp.arange(s_max)
 
-    # base channels [s_max, F+1] (extra dump column)
+    # base channels [s_max, F+1] (extra dump column) + searchScore shadows:
+    # ss of a zero value is the frame's max score over zero candidates, ss
+    # of a run value is that value's own match score — both one [F, S] pass
     sid = jnp.where(v, rank, s_max)
-    ch = jnp.where(sid[None, :] == rows[:, None], f0_step2[None, :], 0.0)
+    in_own = sid[None, :] == rows[:, None]
+    ch = jnp.where(in_own, f0_step2[None, :], 0.0)
     ch = jnp.concatenate([ch, jnp.zeros((s_max, 1), f0_step2.dtype)], 1)
 
+    def _ss_of(vals):
+        m = candidates == vals[:, None]
+        s = jnp.max(jnp.where(m, scores, -jnp.inf), axis=1)
+        return jnp.where(jnp.any(m, axis=1), s, 0.0)
+
+    ss_zero = _ss_of(jnp.zeros_like(f0_step2))
+    ss_run = _ss_of(f0_step2)
+    ss = jnp.where(in_own, ss_run[None, :], ss_zero[None, :])
+    ss = jnp.concatenate([ss, jnp.zeros((s_max, 1), f0_step2.dtype)], 1)
+
     # ---- extend (:427-458) ----
-    ch, ed2 = _extend_dir(ch, ed, jnp.minimum(F - 2, ed + 100), 1,
-                          n_sec, candidates, allowed_range, s_max)
-    ch, st2 = _extend_dir(ch, st, jnp.maximum(1, st - 100), -1,
-                          n_sec, candidates, allowed_range, s_max)
+    ch, ss, ed2 = _extend_dir(ch, ss, ed, jnp.minimum(F - 2, ed + 100), 1,
+                              n_sec, candidates, scores, allowed_range,
+                              s_max)
+    ch, ss, st2 = _extend_dir(ch, ss, st, jnp.maximum(1, st - 100), -1,
+                              n_sec, candidates, scores, allowed_range,
+                              s_max)
 
     # ---- extendSub: mean-based section filter (:440-458) ----
     # NOTE: mean_f0 accumulates WITHOUT reset between sections
@@ -194,23 +218,18 @@ def fix_step3(f0_step2, candidates, scores, allowed_range=0.18):
     st3 = st2[sel]
     ed3 = ed2[sel]
     ch3 = ch[sel, :F]
+    ss3 = ss[sel, :F]
 
     # ---- merge (:502-536) ----
-    # per-channel searchScore precomputed once: the merge loop then only
-    # needs [F]-wide masked sums (merged's score travels with its values)
-    eq = candidates[None, :, :] == ch3[:, :, None]          # [s,F,S]
-    ss = jnp.max(jnp.where(eq, scores[None, :, :], -jnp.inf), axis=2)
-    ss = jnp.where(jnp.any(eq, axis=2), ss, 0.0)            # [s_max, F]
-
     order = jnp.argsort(jnp.where(rows < n_ch, st3, F + rows))
     fidx = jnp.arange(F)
-    merged0 = ch3[0]
-    mss0 = ss[0]
 
-    def merge_step(carry, i):
-        merged, mss, b0, b1 = carry
+    def merge_cond(carry):
+        return carry[0] < n_ch
+
+    def merge_body(carry):
+        i, merged, mss, b0, b1 = carry
         k = order[i]
-        on = i < n_ch
         i1, i2 = st3[k], ed3[k]
         in_sec = (fidx >= i1) & (fidx <= i2)
         new_section = i1 - b1 > 0
@@ -218,22 +237,20 @@ def fix_step3(f0_step2, candidates, scores, allowed_range=0.18):
         # scored merge (:475-497)
         r = (fidx >= i1) & (fidx <= b1)
         s1 = jnp.sum(jnp.where(r, mss, 0.0))
-        s2 = jnp.sum(jnp.where(r, ss[k], 0.0))
+        s2 = jnp.sum(jnp.where(r, ss3[k], 0.0))
         take_hi = (fidx >= b1) & (fidx <= i2)                # score1 wins
         take_all = in_sec                                    # score2 wins
         take = jnp.where(s1 > s2, take_hi, take_all)
         upd = jnp.where(new_section, in_sec, jnp.where(covered, False, take))
-        upd = upd & on
         merged = jnp.where(upd, ch3[k], merged)
-        mss = jnp.where(upd, ss[k], mss)
-        b0 = jnp.where(on & new_section, i1, b0)
-        b1 = jnp.where(on & (new_section | ~covered), i2,
-                       jnp.where(on & covered, b1, b1))
-        return (merged, mss, b0, b1), None
+        mss = jnp.where(upd, ss3[k], mss)
+        b0 = jnp.where(new_section, i1, b0)
+        b1 = jnp.where(new_section | ~covered, i2, b1)
+        return (i + 1, merged, mss, b0, b1)
 
-    (merged, _, _, _), _ = jax.lax.scan(
-        merge_step, (merged0, mss0, st3[0], ed3[0]),
-        jnp.arange(1, s_max, dtype=jnp.int32))
+    _, merged, _, _, _ = jax.lax.while_loop(
+        merge_cond, merge_body,
+        (jnp.int32(1), ch3[0], ss3[0], st3[0], ed3[0]))
 
     out = jnp.where(n_ch == 0, ch[0, :F], merged)
     return jnp.where(n_sec == 0, f0_step2, out)
@@ -338,9 +355,14 @@ def smooth_f0_contour(f0, s_max=None):
     ed = _positions(ed_mask, s_max, 0)
     rows = jnp.arange(s_max)
     jidx = jnp.arange(n)
-    # edge-held per-section signals: x[clip(j, st, ed)] of the section run
-    gather = jnp.clip(jidx[None, :], st[:, None], ed[:, None])
-    chs = padded[gather]
+    # edge-held per-section signals x[clip(j, st, ed)], gather-free: the
+    # held regions are per-section constants, the middle is the shared
+    # padded signal (a [s_max, n] clipped gather costs ~40 ms on TPU)
+    edge_lo = padded[jnp.clip(st, 0, n - 1)]
+    edge_hi = padded[jnp.clip(ed, 0, n - 1)]
+    chs = jnp.where(jidx[None, :] < st[:, None], edge_lo[:, None],
+                    jnp.where(jidx[None, :] > ed[:, None],
+                              edge_hi[:, None], padded[None, :]))
     chs = jnp.where((rows < jnp.sum(st_mask))[:, None], chs, 0.0)
     sm = _biquad_batch(_biquad_batch(chs))
     # compose: frame j (1 ms grid) reads its section's smoothed value

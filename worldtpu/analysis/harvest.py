@@ -759,9 +759,12 @@ class HarvestKernel:
         g = self.geo
         return 1 + int(1000.0 * g.x_length / g.fs / g.frame_period)
 
-    def compute(self, x, dtype=jnp.float64):
+    def compute(self, x, dtype=jnp.float64, contour_on=None):
         g = self.geo
         x = jnp.asarray(x, dtype)
+        if contour_on is None and dtype == jnp.float64:
+            contour_on = "host"
+        contour_on = self._auto_contour(contour_on)
         if dtype == jnp.float64:
             # parity path: the reference's int-truncating mean of the
             # decimated signal, computed exactly on host
@@ -775,6 +778,13 @@ class HarvestKernel:
             # host round trip
             mean_y = 0.0
             chunk = 64
+        if contour_on == "device":
+            n_out = self.get_samples()
+            f0 = np.asarray(harvest_device_full(
+                x, jnp.asarray(mean_y, dtype), geo=g, n_out=n_out,
+                chunk=chunk)).astype(np.float64)
+            tpos = np.arange(n_out) * g.frame_period / 1000.0
+            return f0, tpos
         flat = np.asarray(harvest_device_stages(
             x, jnp.asarray(mean_y, dtype), geo=g, chunk=chunk))
         return self._finish(flat)
@@ -793,8 +803,16 @@ class HarvestKernel:
                           _matlab_round_np(tpos * 1000.0))
         return f0_1ms[pick], tpos
 
+    def _auto_contour(self, contour_on):
+        # the device contour's static section layout is O(F^2/7) memory;
+        # long single utterances (rare next to corpus streaming) fall back
+        # to the host path
+        if contour_on is None:
+            return "device" if self.geo.f0_length <= 8192 else "host"
+        return contour_on
+
     def compute_batch(self, x_batch, dtype=jnp.float32, chunk=32,
-                      transfer_dtype=None, contour_on="device"):
+                      transfer_dtype=None, contour_on=None):
         """Batched Harvest over [B, T] same-length utterances: one device
         dispatch + one transfer for the whole batch.
 
@@ -808,6 +826,7 @@ class HarvestKernel:
         accuracy target; scores above the f16 range saturate, which only
         reorders near-ties)."""
         g = self.geo
+        contour_on = self._auto_contour(contour_on)
         x_batch = jnp.asarray(x_batch, dtype)
         mean = jnp.zeros((x_batch.shape[0],), dtype)
         if contour_on == "device":
@@ -827,11 +846,12 @@ class HarvestKernel:
                 for i in range(x_batch.shape[0])]
 
     def compute_corpus(self, batches, dtype=jnp.float32, chunk=32,
-                       transfer_dtype=None, contour_on="device"):
+                       transfer_dtype=None, contour_on=None):
         """Pipelined Harvest over an iterable of [B, T] batches: batch k+1's
         device stages are dispatched (async) before batch k's download,
         overlapping downloads/host work with device compute."""
         g = self.geo
+        contour_on = self._auto_contour(contour_on)
         if contour_on == "device":
             n_out = self.get_samples()
             tpos = np.arange(n_out) * g.frame_period / 1000.0

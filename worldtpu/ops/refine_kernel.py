@@ -48,22 +48,28 @@ def _matlab_round(x):
 
 def _refine_frame_kernel(f0_ref, seg_ref, out_ref, *,
                          hwmax, n_fft, max_fft_index, fs_a, f0_dummy,
-                         delta_row):
+                         delta_row, gf):
     f32 = jnp.float32
     out_ref[...] = jnp.zeros_like(out_ref)
-    # per-frame scalars arrive through vector lanes (SMEM inputs cannot be
-    # batch-blocked under vmap): delta is replicated in seg's spare row,
-    # n_active is the count of nonzero compacted slots
-    deltav = jnp.broadcast_to(seg_ref[0, delta_row:delta_row + 1, :],
-                              (8, 128))
-    nact = jnp.sum((f0_ref[0] > 0.0).astype(jnp.int32))
-    ngroups = (nact + 7) // 8
     lane = jax.lax.broadcasted_iota(jnp.int32, (8, 128), 1)
     sub = jax.lax.broadcasted_iota(jnp.int32, (8, 128), 0)
     two_pi = 2.0 * C.PI
 
-    def group(g, carry):
-        f0_raw = f0_ref[0, pl.ds(8 * g, 8), :]              # [8, 1]
+    def frame(fi, carry_f):
+        # per-frame scalars arrive through vector lanes (SMEM inputs cannot
+        # be batch-blocked under vmap): delta is replicated in seg's spare
+        # row, n_active is the count of nonzero compacted slots
+        deltav = jnp.broadcast_to(
+            seg_ref[fi, delta_row:delta_row + 1, :], (8, 128))
+        nact = jnp.sum((f0_ref[fi] > 0.0).astype(jnp.int32))
+        ngroups = (nact + 7) // 8
+        jax.lax.fori_loop(
+            0, ngroups,
+            lambda g, c: group(fi, deltav, nact, g, c), jnp.int32(0))
+        return carry_f
+
+    def group(fi, deltav, nact, g, carry):
+        f0_raw = f0_ref[fi, pl.ds(8 * g, 8), :]             # [8, 1]
         f0 = jnp.where(f0_raw > 0.0, f0_raw, f0_dummy)
         active = (sub + 8 * g) < nact                       # [8, 128]
         hw = (1.5 * fs_a / f0 + 1.0).astype(jnp.int32)      # [8, 1]
@@ -80,42 +86,80 @@ def _refine_frame_kernel(f0_ref, seg_ref, out_ref, *,
         jlo = jnp.maximum((hwmax - hwg) // 128, 0)
         jhi = (hwmax + hwg) // 128
 
-        def block(j, acc):
-            s = seg_ref[0, pl.ds(j, 1), :]                  # [1, 128]
+        # window angles advance by lane-independent per-pair constants
+        # across blocks (+128 samples) and the +-1-sample stencil, so one
+        # cos/sin pair at the group's first block plus cheap complex
+        # rotations replaces 6 transcendental arrays per block
+        m0 = 128 * jlo + lane                               # [8, 128]
+        t2_0 = two_pi * (m0.astype(f32) + deltav) / wlf
+        c0 = jnp.cos(t2_0)
+        s0 = jnp.sin(t2_0)
+        d128 = two_pi * 128.0 / wlf                         # [8, 1]
+        cd128, sd128 = jnp.cos(d128), jnp.sin(d128)
+        d1 = two_pi / wlf
+        cd1, sd1 = jnp.cos(d1), jnp.sin(d1)
+
+        def blackman(c):
+            return 0.42 + 0.5 * c + 0.08 * (2.0 * c * c - 1.0)
+
+        # harmonic twiddles rotate the same way: exact int32-reduced phases
+        # at the first block, then per-pair constant rotations (12 cheap
+        # FMAs replace 12 transcendental arrays per block; drift over <=9
+        # blocks is ~1e-6, far under the f32 path's tolerance)
+        ch0, sh0, cdh, sdh = [], [], [], []
+        for h in range(6):
+            a0 = (two_pi / n_fft) * ((gbins[h] * m0) % n_fft).astype(f32)
+            ch0.append(jnp.cos(a0))
+            sh0.append(jnp.sin(a0))
+            ad = (two_pi / n_fft) * ((gbins[h] * 128) % n_fft).astype(f32)
+            cdh.append(jnp.cos(ad))
+            sdh.append(jnp.sin(ad))
+
+        def block(j, carry_b):
+            cw, sw, chs, shs, accs = carry_b
+            s = seg_ref[fi, pl.ds(j, 1), :]                 # [1, 128]
             segb = jnp.broadcast_to(s, (8, 128))
             m = 128 * j + lane                              # [8, 128] int32
-            mf = m.astype(f32) + deltav
             dmm = m - hwmax
 
-            def winval(off):
-                inw = jnp.abs(dmm + off) <= hw
-                t2 = two_pi * (mf + off) / wlf
-                w = 0.42 + 0.5 * jnp.cos(t2) + 0.08 * jnp.cos(2.0 * t2)
-                return jnp.where(inw, w, 0.0)
-
-            mw = winval(0)
-            dw = jnp.where(jnp.abs(dmm) <= hw,
-                           -(winval(1) - winval(-1)) * 0.5, 0.0)
+            inw0 = jnp.abs(dmm) <= hw
+            mw = jnp.where(inw0, blackman(cw), 0.0)
+            c_p = cw * cd1 - sw * sd1
+            c_m = cw * cd1 + sw * sd1
+            wp = jnp.where(jnp.abs(dmm + 1) <= hw, blackman(c_p), 0.0)
+            wm = jnp.where(jnp.abs(dmm - 1) <= hw, blackman(c_m), 0.0)
+            dw = jnp.where(inw0, -(wp - wm) * 0.5, 0.0)
             mainb = jnp.where(active, segb * mw, 0.0)
             diffb = jnp.where(active, segb * dw, 0.0)
+            # accumulate full [8, 128] tiles; the lane reduction happens
+            # ONCE per group below (a per-block reduction was measured
+            # ~10% slower despite the smaller loop carry)
+            new = []
+            nch, nsh = [], []
             for h in range(6):
-                ang = (two_pi / n_fft) * ((gbins[h] * m) % n_fft).astype(f32)
-                cb = jnp.cos(ang)
-                sb = jnp.sin(ang)
-                for c, r in enumerate((
-                        jnp.sum(mainb * cb, axis=1, keepdims=True),
-                        -jnp.sum(mainb * sb, axis=1, keepdims=True),
-                        jnp.sum(diffb * cb, axis=1, keepdims=True),
-                        -jnp.sum(diffb * sb, axis=1, keepdims=True))):
-                    acc = acc + r * (lane == (32 * c + h)).astype(f32)
-            return acc
+                cb, sb = chs[h], shs[h]
+                a = accs[4 * h:4 * h + 4]
+                new += [a[0] + mainb * cb, a[1] + mainb * sb,
+                        a[2] + diffb * cb, a[3] + diffb * sb]
+                nch.append(cb * cdh[h] - sb * sdh[h])
+                nsh.append(cb * sdh[h] + sb * cdh[h])
+            cw2 = cw * cd128 - sw * sd128
+            sw2 = cw * sd128 + sw * cd128
+            return (cw2, sw2, tuple(nch), tuple(nsh), tuple(new))
 
-        acc = jax.lax.fori_loop(jlo, jhi + 1, block,
-                                jnp.zeros((8, 128), f32))
-        out_ref[0, pl.ds(8 * g, 8), :] = acc
+        _, _, _, _, accs = jax.lax.fori_loop(
+            jlo, jhi + 1, block,
+            (c0, s0, tuple(ch0), tuple(sh0),
+             tuple(jnp.zeros((8, 128), f32) for _ in range(24))))
+        out = jnp.zeros((8, 128), f32)
+        for h in range(6):
+            for c, sgn in ((0, 1.0), (1, -1.0), (2, 1.0), (3, -1.0)):
+                r = sgn * jnp.sum(accs[4 * h + c], axis=1, keepdims=True)
+                out = out + r * (lane == (32 * c + h)).astype(f32)
+        out_ref[fi, pl.ds(8 * g, 8), :] = out
         return carry
 
-    jax.lax.fori_loop(0, ngroups, group, jnp.int32(0))
+    jax.lax.fori_loop(0, gf, frame, jnp.int32(0))
 
 
 @functools.partial(jax.jit, static_argnames=("geo", "interpret"))
@@ -134,12 +178,13 @@ def refine_stage_pallas(y, cand, tpos, *, geo, interpret=False):
     hwmax = geo.max_half_window
     n_fft = geo.refine_fft
 
-    # -- compaction: one-hot contraction (no scatter/sort) --
+    # -- compaction, sorted by ascending f0 == descending window width:
+    # pairs in an 8-slot kernel group then share similar widths, so the
+    # group's dynamic block range (set by its widest pair) wastes little
     active = cand > 0.0
     n_active = jnp.minimum(jnp.sum(active, axis=1), CAP)    # [F]
-    rank = jnp.where(active, jnp.cumsum(active, axis=1) - 1, -1)
-    oh = rank[:, :, None] == jnp.arange(CAP)[None, None, :]
-    cand_c = jnp.sum(jnp.where(oh, cand[:, :, None], 0.0), axis=1)
+    cand_c = jnp.sort(jnp.where(active, cand, jnp.inf), axis=1)[:, :CAP]
+    cand_c = jnp.where(jnp.isfinite(cand_c), cand_c, 0.0)
     kk = jnp.arange(CAP)[None, :]
     valid = kk < n_active[:, None]
     # inactive dummy = f0_ceil: keeps the math finite with the narrowest
@@ -153,9 +198,13 @@ def refine_stage_pallas(y, cand, tpos, *, geo, interpret=False):
     r_seg = -(-(2 * hwmax + 1) // 128)
     r8 = -(-(r_seg + 1) // 8) * 8                           # >=1 spare row
     delta_row = r8 - 1
-    m = jnp.arange(r_seg * 128)
-    q = origin[:, None] - 1 - hwmax + m[None, :]
-    seg = y[jnp.clip(q, 0, geo.y_length - 1)]               # [F, r_seg*128]
+    # contiguous slices from an edge-replicated pad (bit-identical to the
+    # per-element clip(q, 0, L-1) gather, ~30x fewer gather descriptors)
+    pad_lo = hwmax + 1
+    ypad = jnp.pad(y, (pad_lo, hwmax + r_seg * 128), mode="edge")
+    starts = origin - 1 - hwmax + pad_lo
+    seg = jax.vmap(
+        lambda s: jax.lax.dynamic_slice(ypad, (s,), (r_seg * 128,)))(starts)
     delta = (origin - 1 - hwmax).astype(dt) - tpos * fs_a   # [F]
     seg = jnp.concatenate([
         seg.reshape(F, r_seg, 128),
@@ -163,24 +212,32 @@ def refine_stage_pallas(y, cand, tpos, *, geo, interpret=False):
         jnp.broadcast_to(delta[:, None, None], (F, 1, 128)),
     ], axis=1)                                              # [F, r8, 128]
 
+    # multiple frames per grid cell amortize the per-cell DMA/setup cost
+    # (3001 single-frame cells measured ~40% of the kernel wall)
+    GF = 8
+    Fp = -(-F // GF) * GF
+    f0_in = jnp.pad(f0_in, ((0, Fp - F), (0, 0)))
+    seg = jnp.pad(seg, ((0, Fp - F), (0, 0), (0, 0)))
+
     kern = functools.partial(
         _refine_frame_kernel, hwmax=hwmax, n_fft=n_fft,
         max_fft_index=geo.max_fft_index, fs_a=fs_a,
-        f0_dummy=float(geo.f0_ceil), delta_row=delta_row)
+        f0_dummy=float(geo.f0_ceil), delta_row=delta_row, gf=GF)
     sums = pl.pallas_call(
         kern,
-        grid=(F,),
+        grid=(Fp // GF,),
         in_specs=[
-            pl.BlockSpec((1, CAP, 1), lambda i: (i, 0, 0),
+            pl.BlockSpec((GF, CAP, 1), lambda i: (i, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, r8, 128), lambda i: (i, 0, 0),
+            pl.BlockSpec((GF, r8, 128), lambda i: (i, 0, 0),
                          memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec((1, CAP, 128), lambda i: (i, 0, 0),
+        out_specs=pl.BlockSpec((GF, CAP, 128), lambda i: (i, 0, 0),
                                memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((F, CAP, 128), jnp.float32),
+        out_shape=jax.ShapeDtypeStruct((Fp, CAP, 128), jnp.float32),
         interpret=interpret,
     )(f0_in[:, :, None].astype(jnp.float32), seg.astype(jnp.float32))
+    sums = sums[:F]
 
     sm_re = sums[:, :, 0:6].astype(dt)
     sm_im = sums[:, :, 32:38].astype(dt)

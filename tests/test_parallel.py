@@ -172,3 +172,43 @@ def test_batch_harvest_f0_device_contour_sharded():
     v = f.f0 > 0
     rmse = np.sqrt(np.mean((f0_sh[0][v] - f.f0[v]) ** 2))
     assert rmse < 1.0, rmse
+
+
+def test_batch_wav_to_wav_one_dispatch():
+    """Flagship one-dispatch wav->wav with pitch/duration modification,
+    sharded == unsharded."""
+    from worldtpu.analysis import harvest as H
+
+    f = load_fixture("t16")
+    fs = f.fs
+    T = len(f.x)
+    x = np.tile(np.asarray(f.x, np.float32), (4, 1))
+    x[1] *= 0.5
+    hk = H.HarvestKernel(fs, T)
+    kern = CheapTrickKernel(fs)
+    n_out = hk.get_samples()
+    F = n_out
+    out_length = int((F - 1) * 0.005 * 1.25 * fs) + 1
+    mp = S.default_max_pulses(out_length, fs)
+    noise = S.make_noise(jax.random.PRNGKey(0), mp, kern.fft_size,
+                         jnp.float32)
+    noise = jnp.tile(noise[None], (4, 1, 1))
+    kw = dict(geo=hk.geo, fs=fs, fft_size=kern.fft_size,
+              max_half_window=kern.max_half_window,
+              frame_period_s=0.005 * 1.25, out_length=out_length,
+              max_pulses=mp, chunk=16, pitch_scale=1.2)
+    y1, f01 = B.batch_wav_to_wav(jnp.asarray(x), noise, mesh=None, **kw)
+    assert y1.shape == (4, out_length)
+    assert bool(jnp.all(jnp.isfinite(y1)))
+    assert float(jnp.max(jnp.abs(y1))) > 0.01
+    mesh = B.make_mesh(n_data=4, n_time=2)
+    y2, f02 = B.batch_wav_to_wav(jnp.asarray(x), noise, mesh=mesh, **kw)
+    np.testing.assert_allclose(np.asarray(f02), np.asarray(f01),
+                               rtol=0, atol=1e-4)
+    # waveforms: V/UV knife-edges can flip single pulses; compare
+    # short-time RMS profiles
+    w = 160
+    n = (out_length // w) * w
+    r1 = np.sqrt(np.mean(np.asarray(y1)[:, :n].reshape(4, -1, w) ** 2, -1))
+    r2 = np.sqrt(np.mean(np.asarray(y2)[:, :n].reshape(4, -1, w) ** 2, -1))
+    np.testing.assert_allclose(r2, r1, atol=0.02)

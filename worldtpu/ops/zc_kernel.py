@@ -67,8 +67,11 @@ class _GroupGeom:
         # per-128-sample-column capacity: min spacing fs_a/(1.5*bound)
         rate = 1.5 * bound_top / geo.actual_fs          # events per sample
         self.c_row = _round_up(int(128.0 * rate) + 4, 8)
-        # merge-sweep window: locations per 128 ms frame tile + slack
-        self.win = _round_up(int(0.128 * bound_top * 1.8) + 64, 128)
+        # merge-sweep window: locations per 128 ms frame tile + slack.
+        # The crossing rate of a [0.5b, 1.5b]-bandpassed signal is bounded
+        # by 1.5b; 1.65 margin + base-quantization slack (the window is
+        # ~2/3 of the kernel wall, so slack is kept tight)
+        self.win = _round_up(int(0.128 * bound_top * 1.65) + 24, 64)
         self.e_cap = _round_up(max(self.e_cap, self.win + 16), 128)
         self.win = min(self.win, self.e_cap - 8)
 

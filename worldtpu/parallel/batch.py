@@ -227,6 +227,46 @@ def batch_harvest_device_stages(x, *, geo, mesh, chunk=32, use_zc=None):
 
 
 @functools.partial(
+    jax.jit,
+    static_argnames=("geo", "fs", "fft_size", "max_half_window",
+                     "frame_period_s", "out_length", "max_pulses", "mesh",
+                     "chunk"))
+def batch_wav_to_wav(x, noise, *, geo, fs, fft_size, max_half_window,
+                     frame_period_s, out_length, max_pulses, mesh=None,
+                     chunk=32, pitch_scale=1.0):
+    """The flagship ONE-DISPATCH pipeline: [B, T] wavs -> Harvest F0 (with
+    on-device contour fixing) -> optional pitch scaling -> CheapTrick +
+    D4C -> synthesis -> [B, out_length] wavs.  F0 never leaves the device;
+    duration modification is the frame_period_s at synthesis (reference
+    test.cpp's ParameterModification analog).  mesh=None runs single-chip;
+    a ('data','time') mesh shards it (dp x sp + band-parallel Harvest)."""
+    from worldtpu.analysis import harvest as _h
+
+    n_grid = 1 + int(1000.0 * geo.x_length / geo.fs / geo.frame_period)
+    if mesh is None:
+        mean = jnp.zeros((x.shape[0],), x.dtype)
+        f0 = _h.harvest_device_full_batch(x, mean, geo, n_grid, chunk)
+    else:
+        f0 = batch_harvest_f0(x, geo=geo, n_out=n_grid, mesh=mesh,
+                              chunk=chunk)
+    F = f0.shape[1]
+    f0 = (f0 * pitch_scale).astype(x.dtype)
+    if mesh is not None:
+        # frame axis must divide the 'time' mesh axis; padded frames are
+        # unvoiced and synthesize nothing inside out_length
+        nt = mesh.shape["time"]
+        f0 = jnp.pad(f0, ((0, 0), (0, (-F) % nt)))
+        F = f0.shape[1]
+    tpos = (jnp.arange(F, dtype=x.dtype)
+            * (geo.frame_period / 1000.0))
+    y, spec, ap = batch_copy_synthesis(
+        x, f0, tpos, noise, fs=fs, fft_size=fft_size,
+        max_half_window=max_half_window, frame_period_s=frame_period_s,
+        out_length=out_length, max_pulses=max_pulses, mesh=mesh)
+    return y, f0[:, :n_grid]
+
+
+@functools.partial(
     jax.jit, static_argnames=("geo", "n_out", "chunk", "use_zc", "mesh"))
 def batch_harvest_f0(x, *, geo, n_out, mesh, chunk=32, use_zc=None):
     """Full sharded Harvest wav -> frame-period F0 [B, n_out]: the device

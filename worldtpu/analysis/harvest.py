@@ -424,6 +424,9 @@ def candidates_stage(y, mean_y, tpos, *, geo, use_zc=None):
         # kernel width (mathematically identical to the circular route: the
         # FFT buffer's zero padding makes the circular convolution linear)
         parts = []
+        # bf16x3 (HIGH) halves the MXU passes vs HIGHEST at ~f32 accuracy
+        # for these O(1)-valued 100-800 tap kernels (band signals feed
+        # zero-crossing detection; end-to-end F0 quality is gated in bench)
         for lo, hi, Lg in _conv_groups(geo):
             kern = _bandpass_kernels(geo, dt, lo, hi, Lg)
             ypad = jnp.pad(ym, (Lg - 1, Lg + 1))
@@ -431,7 +434,7 @@ def candidates_stage(y, mean_y, tpos, *, geo, use_zc=None):
                 ypad[None, None, :], kern[:, None, :],
                 window_strides=(1,), padding="VALID",
                 dimension_numbers=("NCW", "OIW", "NCW"),
-                precision=jax.lax.Precision.HIGHEST)[0])
+                precision=jax.lax.Precision.HIGH)[0])
         filt = jnp.concatenate(parts, axis=0)         # [Nb, y_len]
         if use_zc is None:
             use_zc = _use_zc_kernel_default()

@@ -205,6 +205,13 @@ def _zc_group_kernel(filt_ref, out_ref, colbuf, cnt_smem, *,
             jb2 = jnp.clip((dmin // 8) * 8, 0, e_cap - win - 8)
             locw2, itvw2 = window(jb2)
             oh = (subw + jb2) == d                        # [win, 128]
+            # one [4, win] @ [win, 128] MXU pass gathers all four
+            # interpolation taps (the four masked [win, 128] sums were
+            # ~half the merge-sweep's VPU work)
+            # NOTE: gathering the four interpolation taps through one
+            # [4, win] x [win, 128] MXU dot was tried and is ~1.7x SLOWER
+            # than these masked sums (the one-hot's relayout into MXU
+            # operand format dominates)
             x0 = jnp.sum(jnp.where(oh, locw2[:win], 0.0), axis=0,
                          keepdims=True)
             x1 = jnp.sum(jnp.where(oh, locw2[1:win + 1], 0.0), axis=0,

@@ -1,5 +1,7 @@
 """Corpus loader: directory of wavs -> padded static-shape batches."""
 
+import pathlib
+
 import numpy as np
 import pytest
 
@@ -82,3 +84,36 @@ def test_wav_info_matches_wavread(wav_dir):
         n, r, nbit = wav.wav_info(p)
         x, r2, nbit2 = wav.wavread(p)
         assert (n, r, nbit) == (len(x), r2, nbit2)
+
+
+def test_native_batch_loader_matches_python():
+    """C++ threaded batch WAV reader == per-file Python reads, all depths."""
+    import tempfile
+
+    from worldtpu import native
+    from worldtpu.io import wav as wav_io
+
+    lib = native._build_and_load_cpp()
+    if lib is None:
+        import pytest
+        pytest.skip("no C++ toolchain")
+
+    rng = np.random.RandomState(7)
+    with tempfile.TemporaryDirectory() as d:
+        d = pathlib.Path(d)
+        paths = []
+        for i, n in enumerate([1000, 2300, 777]):
+            x = np.clip(rng.randn(n) * 0.3, -0.99, 0.99)
+            wav_io.wavwrite(d / f"u{i}.wav", x, 16000)
+            paths.append(d / f"u{i}.wav")
+        T = 4096
+        out = native.load_wavs_batch(paths, T)
+        assert out is not None
+        xb, lengths, rates, bits = out
+        assert list(lengths) == [1000, 2300, 777]
+        assert list(rates) == [16000] * 3 and list(bits) == [16] * 3
+        for i, p in enumerate(paths):
+            xi, fs, _ = wav_io.wavread(p)
+            np.testing.assert_array_equal(
+                xb[i, :len(xi)], xi.astype(np.float32))
+            assert np.all(xb[i, len(xi):] == 0.0)

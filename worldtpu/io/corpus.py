@@ -121,14 +121,20 @@ def iter_corpus(root, batch_size, *, fs=None, dtype=np.float32,
             group = group + [group[-1]] * n_fill
         T = _round_up(max(n for _, n in group), pad_to)
         B = len(group)
-        x = np.zeros((B, T), dtype)
-        lengths = np.zeros(B, np.int64)
-        names = []
-        for i, (p, n) in enumerate(group):
-            xi, file_fs, _ = _wav.wavread(p)
-            x[i, :n] = xi.astype(dtype)
-            lengths[i] = n
-            names.append(p.stem)
+        names = [p.stem for p, _ in group]
+        # threaded C++ batch reader (native/corpusio.cpp); Python fallback
+        from worldtpu import native as _native
+        loaded = _native.load_wavs_batch([p for p, _ in group], T) \
+            if dtype == np.float32 else None
+        if loaded is not None and bool((loaded[1] >= 0).all()):
+            x, lengths = loaded[0], loaded[1]
+        else:
+            x = np.zeros((B, T), dtype)
+            lengths = np.zeros(B, np.int64)
+            for i, (p, n) in enumerate(group):
+                xi, file_fs, _ = _wav.wavread(p)
+                x[i, :n] = xi.astype(dtype)
+                lengths[i] = n
         valid = np.ones(B, bool)
         if n_fill:
             valid[-n_fill:] = False

@@ -123,3 +123,61 @@ def int_trunc_sum(x) -> float:
     for v in x:
         acc = int(acc + v)
     return float(acc)
+
+
+_CPP_SRC = pathlib.Path(__file__).with_name("corpusio.cpp")
+_CPP_LIB = None
+_CPP_TRIED = False
+
+
+def _build_and_load_cpp():
+    """The C++ corpus IO library (threaded batched WAV reader)."""
+    global _CPP_LIB, _CPP_TRIED
+    if _CPP_TRIED:
+        return _CPP_LIB
+    _CPP_TRIED = True
+    cache = pathlib.Path(
+        os.environ.get("WORLDTPU_CACHE",
+                       os.path.expanduser("~/.cache/worldtpu")))
+    cache.mkdir(parents=True, exist_ok=True)
+    so = cache / "worldtpu_corpusio.so"
+    try:
+        if not so.exists() or so.stat().st_mtime < _CPP_SRC.stat().st_mtime:
+            subprocess.run(
+                ["c++", "-std=c++17", "-O2", "-fPIC", "-shared", "-pthread",
+                 str(_CPP_SRC), "-o", str(so)],
+                check=True, capture_output=True)
+        lib = ctypes.CDLL(str(so))
+        lib.worldtpu_load_wavs.argtypes = [
+            ctypes.POINTER(ctypes.c_char_p), ctypes.c_int64, ctypes.c_int64,
+            ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p,
+            ctypes.c_void_p, ctypes.c_int32]
+        lib.worldtpu_load_wavs.restype = ctypes.c_int64
+        _CPP_LIB = lib
+    except Exception:
+        _CPP_LIB = None
+    return _CPP_LIB
+
+
+def load_wavs_batch(paths, T, n_threads=8):
+    """Read mono PCM wavs into a zero-padded [len(paths), T] float32 batch
+    with the threaded C++ loader.  Returns (x, lengths, rates, bits) or
+    None if the native library is unavailable (caller falls back to the
+    Python reader).  Per-file failures leave lengths[i] == -1."""
+    import numpy as np
+    lib = _build_and_load_cpp()
+    if lib is None:
+        return None
+    n = len(paths)
+    x = np.zeros((n, T), np.float32)
+    lengths = np.empty(n, np.int64)
+    rates = np.empty(n, np.int32)
+    bits = np.empty(n, np.int32)
+    arr = (ctypes.c_char_p * n)(
+        *[str(p).encode() for p in paths])
+    lib.worldtpu_load_wavs(
+        arr, n, T, x.ctypes.data_as(ctypes.c_void_p),
+        lengths.ctypes.data_as(ctypes.c_void_p),
+        rates.ctypes.data_as(ctypes.c_void_p),
+        bits.ctypes.data_as(ctypes.c_void_p), n_threads)
+    return x, lengths, rates, bits

@@ -424,9 +424,11 @@ def candidates_stage(y, mean_y, tpos, *, geo, use_zc=None):
         # kernel width (mathematically identical to the circular route: the
         # FFT buffer's zero padding makes the circular convolution linear)
         parts = []
-        # bf16x3 (HIGH) halves the MXU passes vs HIGHEST at ~f32 accuracy
-        # for these O(1)-valued 100-800 tap kernels (band signals feed
-        # zero-crossing detection; end-to-end F0 quality is gated in bench)
+        # bf16 (DEFAULT) is 3.8x cheaper than HIGHEST on the MXU for these
+        # O(1)-valued 100-800 tap kernels.  The band signals only seed
+        # zero-crossing CANDIDATES (refinement re-estimates F0 from the
+        # raw waveform), so bf16 jitter costs 0.007 Hz end-to-end F0 RMSE
+        # (0.024 -> 0.032 Hz, gated in bench) for +17% pipeline throughput
         for lo, hi, Lg in _conv_groups(geo):
             kern = _bandpass_kernels(geo, dt, lo, hi, Lg)
             ypad = jnp.pad(ym, (Lg - 1, Lg + 1))
@@ -434,7 +436,7 @@ def candidates_stage(y, mean_y, tpos, *, geo, use_zc=None):
                 ypad[None, None, :], kern[:, None, :],
                 window_strides=(1,), padding="VALID",
                 dimension_numbers=("NCW", "OIW", "NCW"),
-                precision=jax.lax.Precision.HIGH)[0])
+                precision=jax.lax.Precision.DEFAULT)[0])
         filt = jnp.concatenate(parts, axis=0)         # [Nb, y_len]
         if use_zc is None:
             use_zc = _use_zc_kernel_default()

@@ -55,3 +55,22 @@ def test_npz_checkpoint_roundtrip(tmp_path):
     np.testing.assert_array_equal(z["aperiodicity"], ap)
     assert z["fs"] == 16000 and z["fft_size"] == 1024
     assert z["frame_period"] == 5.0
+
+
+def test_metrics_recorder():
+    """Structured per-stage metrics (SURVEY §5 metrics/logging row)."""
+    import json
+    import time as _time
+
+    from worldtpu.metrics import MetricsRecorder
+
+    rec = MetricsRecorder(audio_s=2.0)
+    with rec.stage("harvest", frames=401):
+        _time.sleep(0.01)
+    rec.add("synthesis", 0.05, pulses=123)
+    d = rec.as_dict()
+    assert [s["stage"] for s in d["stages"]] == ["harvest", "synthesis"]
+    assert d["stages"][0]["frames"] == 401
+    assert d["stages"][1]["pulses"] == 123
+    assert d["rtf"] > 0
+    json.loads(rec.emit_json())

@@ -20,7 +20,10 @@ import time
 import numpy as np
 
 
-def _timed(label, fn, *args, **kw):
+_METRICS = None  # set by main() when --metrics-json is given
+
+
+def _timed(label, fn, *args, _stage=None, **kw):
     t0 = time.time()
     out = fn(*args, **kw)
     try:
@@ -28,7 +31,10 @@ def _timed(label, fn, *args, **kw):
         jax.block_until_ready(out)
     except Exception:
         pass
-    print(f"\t {label}:\t{(time.time() - t0) * 1000:.3f} [msec]")
+    dt = time.time() - t0
+    print(f"\t {label}:\t{dt * 1000:.3f} [msec]")
+    if _METRICS is not None and _stage:
+        _METRICS.add(_stage, dt)
     return out
 
 
@@ -42,20 +48,22 @@ def _analyze(x, fs, frame_period, f0_floor, dtype):
     harvest = api.Harvest(fs, hopt)
     kern = harvest._kernel(len(x))
     print(f"\t initialize:\t{(time.time() - t0) * 1000:.3f} [msec]")
-    tpos, f0 = _timed("compute", harvest.compute, x, dtype=dtype)
+    tpos, f0 = _timed("compute", harvest.compute, x, dtype=dtype,
+                      _stage="harvest")
 
     print("\nSpectral envelope estimation (CheapTrick)")
     t0 = time.time()
     cheaptrick = api.CheapTrick(fs)
     print(f"\t initialize:\t{(time.time() - t0) * 1000:.3f} [msec]")
-    spec = _timed("compute", cheaptrick.compute, x, tpos, f0, dtype=dtype)
+    spec = _timed("compute", cheaptrick.compute, x, tpos, f0, dtype=dtype,
+                  _stage="cheaptrick")
 
     print("\nAperiodicity estimation (D4C)")
     t0 = time.time()
     d4c = api.D4C(fs)
     print(f"\t initialize:\t{(time.time() - t0) * 1000:.3f} [msec]")
     ap = _timed("compute", d4c.compute, x, tpos, f0, cheaptrick.fft_size,
-                dtype=dtype)
+                dtype=dtype, _stage="d4c")
     return tpos, f0, np.asarray(spec), np.asarray(ap), cheaptrick.fft_size
 
 
@@ -89,7 +97,8 @@ def _synthesize(f0, spec, ap, fs, fft_size, frame_period, dtype, seed=0):
     syn = api.Synthesis(fs, fft_size, frame_period)
     print(f"\t initialize:\t{(time.time() - t0) * 1000:.3f} [msec]")
     y = _timed("compute", syn.compute, f0, spec, ap, out_length,
-               key=jax.random.PRNGKey(seed), dtype=dtype)
+               key=jax.random.PRNGKey(seed), dtype=dtype,
+               _stage="synthesis")
     return np.asarray(y)
 
 
@@ -108,6 +117,9 @@ def main(argv=None):
     p.add_argument("--platform", default=None,
                    help="jax platform override (cpu / axon / tpu)")
     p.add_argument("--seed", type=int, default=0)
+    p.add_argument("--metrics-json", default=None,
+                   help="write per-stage structured metrics (wall_s, rtf, "
+                        "frames) as one JSON document to this path")
     args = p.parse_args(argv)
 
     import jax
@@ -122,6 +134,11 @@ def main(argv=None):
         dtype = jnp.float64
 
     from worldtpu.io import params, wav
+
+    global _METRICS
+    if args.metrics_json:
+        from worldtpu.metrics import MetricsRecorder
+        _METRICS = MetricsRecorder()
 
     if args.command in ("analyze", "copy-syn"):
         x, fs, nbit = wav.wavread(args.input)
@@ -145,6 +162,13 @@ def main(argv=None):
                         dtype, args.seed)
         wav.wavwrite(args.output, y, fs)
         print(f"\nwrote {args.output}")
+        if _METRICS is not None:
+            _METRICS.audio_s = len(x) / fs
+            for m in _METRICS.entries:
+                m.audio_s = _METRICS.audio_s
+                m.frames = len(f0)
+            _METRICS.emit_json(args.metrics_json)
+            print(f"wrote {args.metrics_json}")
         return 0
 
     # synthesize from parameter files

@@ -185,7 +185,9 @@ def batch_harvest_device_stages(x, *, geo, mesh, chunk=32, use_zc=None):
                 ypad[None, None, :], kern_s[:, None, :],
                 window_strides=(1,), padding="VALID",
                 dimension_numbers=("NCW", "OIW", "NCW"),
-                precision=jax.lax.Precision.HIGHEST)[0]  # [nbl, y_len]
+                # same precision as the single-chip candidates_stage so
+                # sharded == unsharded holds on real (MXU) hardware too
+                precision=jax.lax.Precision.DEFAULT)[0]  # [nbl, y_len]
             if use_zc:
                 raw_l = _zc.band_candidates_pallas(
                     filt, geo, bounds=bounds_s, groups=groups,

@@ -333,9 +333,10 @@ def main():
         # max_pulses (a static shape) needs one F0 pass on real data; the
         # steady-state pipeline then runs the ONE-DISPATCH wav->wav program
         # per batch with F0 never leaving the device
-        f0_once = np.asarray(hk5.compute_batch(x5_dev)[0][0]) * pitch_scale
+        f0_once = np.asarray(hk5.compute_batch(x5_dev)[0])
         state["mp"] = S.estimate_max_pulses(
-            f0_once.astype(np.float32), fs5, ck5.fft_size, out_len5)
+            f0_once.astype(np.float32), fs5, ck5.fft_size, out_len5,
+            pitch_scale=pitch_scale)
         state["noise"] = S.make_noise(
             jax.random.PRNGKey(0), n_utts * state["mp"], ck5.fft_size,
             jnp.float32).reshape(n_utts, state["mp"], -1)

@@ -20,6 +20,8 @@ from worldtpu.analysis import contour_device as CD
 
 from test_harvest import HarvestDump
 
+pytestmark = pytest.mark.slow
+
 
 def _chain_device(cand, score):
     return CD.smooth_f0_contour(

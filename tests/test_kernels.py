@@ -9,6 +9,8 @@ import jax.numpy as jnp
 import numpy as np
 import pytest
 
+pytestmark = pytest.mark.slow
+
 
 def _vowel(fs, dur, f0_base, seed):
     rng = np.random.RandomState(seed)

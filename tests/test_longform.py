@@ -13,6 +13,9 @@ import jax.numpy as jnp
 
 from worldtpu.analysis.harvest import HarvestKernel
 from worldtpu.analysis.longform import LongHarvest
+import pytest
+
+pytestmark = pytest.mark.slow
 
 DUR = float(os.environ.get("WORLDTPU_LONG_TEST_SECONDS", "60"))
 

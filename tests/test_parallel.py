@@ -10,6 +10,8 @@ from worldtpu.analysis.cheaptrick import CheapTrickKernel
 from worldtpu.parallel import batch as B
 from worldtpu.synthesis import synthesis as S
 
+pytestmark = pytest.mark.slow
+
 
 def test_eight_virtual_devices():
     assert len(jax.devices()) == 8

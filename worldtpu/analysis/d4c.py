@@ -347,12 +347,17 @@ def d4c_frames(x, f0, temporal_positions, *, fs, fft_size_out, threshold=0.85,
     else:
         # f32 path: cum[Kd-b-2] of the ascending sort is total minus the
         # top (boundary+1) values.  approx_max_k rides the TPU's native
-        # partial-reduce (~4x faster than the sort-lowered top_k) and at
-        # k=31 of 1025 bins its default recall target recovers the exact
-        # top set (verified on random spectra; bench MCD gates drift)
+        # partial-reduce (~3x faster than the sort-lowered top_k).  The
+        # recall target is pinned: with aggregate_to_topk (default) the
+        # candidate pool is re-ranked exactly, and at k=31 of 1025 bins
+        # 0.95 recovers the exact top-set sum on adversarial spectra
+        # (60-decade dynamic range, k-way near-ties) — asserted by
+        # tests/test_d4c.py::test_approx_max_k_exact_top_set and gated on
+        # the real chip by bench.py's kernel-parity check
         hi = jnp.sum(ps_b, axis=-1)
         top, _ = jax.lax.approx_max_k(
-            ps_b.reshape(-1, ps_b.shape[-1]), boundary + 1)
+            ps_b.reshape(-1, ps_b.shape[-1]), boundary + 1,
+            recall_target=0.95)
         lo = hi - jnp.sum(top, axis=-1).reshape(hi.shape)
     ca = 10.0 * jnp.log10(lo / hi)
     ca = jnp.minimum(0.0, ca + (f0d[:, None] - 100.0) / 50.0)  # [F,B]

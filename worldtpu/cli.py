@@ -120,6 +120,12 @@ def main(argv=None):
     p.add_argument("--metrics-json", default=None,
                    help="write per-stage structured metrics (wall_s, rtf, "
                         "frames) as one JSON document to this path")
+    p.add_argument("--profile", default=None, metavar="DIR",
+                   help="capture a jax.profiler device trace of the "
+                        "compute region into DIR (view with TensorBoard "
+                        "or xprof; the device-time analog of the "
+                        "reference's per-stage chrono printout, "
+                        "/root/reference/test/test.cpp:36-45)")
     args = p.parse_args(argv)
 
     import jax
@@ -140,14 +146,29 @@ def main(argv=None):
         from worldtpu.metrics import MetricsRecorder
         _METRICS = MetricsRecorder()
 
+    import contextlib
+
+    def profile_region():
+        if args.profile:
+            return jax.profiler.trace(args.profile)
+        return contextlib.nullcontext()
+
     if args.command in ("analyze", "copy-syn"):
         x, fs, nbit = wav.wavread(args.input)
         print("File information")
         print(f"Sampling : {fs} [Hz] {nbit} [Bit]")
         print(f"Length {len(x)} [sample]")
         print(f"Length {len(x) / fs} [sec]")
-        tpos, f0, spec, ap, fft_size = _analyze(
-            x, fs, args.frame_period, args.f0_floor, dtype)
+        with profile_region():
+            tpos, f0, spec, ap, fft_size = _analyze(
+                x, fs, args.frame_period, args.f0_floor, dtype)
+            if args.command == "copy-syn":
+                f0, spec = _modify(f0, spec, fs, fft_size,
+                                   args.f0_scale, args.formant_scale)
+                y = _synthesize(f0, spec, ap, fs, fft_size,
+                                args.frame_period, dtype, args.seed)
+        if args.profile:
+            print(f"wrote jax.profiler trace to {args.profile}")
         if args.command == "analyze":
             params.write_f0(args.output + ".f0", f0, args.frame_period)
             params.write_spectral_envelope(
@@ -156,10 +177,6 @@ def main(argv=None):
                 args.output + ".ap", ap, fs, args.frame_period, fft_size)
             print(f"\nwrote {args.output}.{{f0,spec,ap}}")
             return 0
-        f0, spec = _modify(f0, spec, fs, fft_size,
-                           args.f0_scale, args.formant_scale)
-        y = _synthesize(f0, spec, ap, fs, fft_size, args.frame_period,
-                        dtype, args.seed)
         wav.wavwrite(args.output, y, fs)
         print(f"\nwrote {args.output}")
         if _METRICS is not None:
@@ -176,9 +193,12 @@ def main(argv=None):
     spec, meta = params.read_spectral_envelope(args.input + ".spec")
     ap, _ = params.read_aperiodicity(args.input + ".ap")
     fs, fft_size = meta["fs"], meta["fft_size"]
-    f0, spec = _modify(f0, spec, fs, fft_size,
-                       args.f0_scale, args.formant_scale)
-    y = _synthesize(f0, spec, ap, fs, fft_size, fp, dtype, args.seed)
+    with profile_region():
+        f0, spec = _modify(f0, spec, fs, fft_size,
+                           args.f0_scale, args.formant_scale)
+        y = _synthesize(f0, spec, ap, fs, fft_size, fp, dtype, args.seed)
+    if args.profile:
+        print(f"wrote jax.profiler trace to {args.profile}")
     wav.wavwrite(args.output, y, fs)
     print(f"\nwrote {args.output}")
     return 0

@@ -106,6 +106,74 @@ def _time_base(f0, fs, frame_period_s, out_length, lowest_f0, max_pulses):
     return idx, shift, n_pulses, vuv_at, valid, overflowed
 
 
+def pulse_responses(pt, shift, ns, vuv_at, valid, spectrogram,
+                    aperiodicity, noise, *, fs, fft_size):
+    """Per-pulse impulse responses [P, fft_size] (reference :308-344).
+
+    The pulse-description arrays come from :func:`_time_base` (or the
+    chunked variant in :mod:`worldtpu.longaudio`):
+
+        pt: [P] fractional frame position of each pulse (sample/fs/fp,
+            relative to spectrogram's first frame).
+        shift: [P] sub-sample time shift (s).
+        ns: [P] noise size (samples to next pulse; reference :106).
+        vuv_at: [P] voicedness at the pulse sample.
+        valid: [P] mask of real pulses.
+        spectrogram, aperiodicity: [F, K].
+        noise: [P, fft_size] standard-normal rows.
+    """
+    dt = spectrogram.dtype
+    K = fft_size // 2 + 1
+    half = fft_size // 2
+    F = spectrogram.shape[0]
+
+    # ---- per-pulse envelope / aperiodic ratio (reference :346-393) ----
+    fl = jnp.clip(jnp.floor(pt).astype(jnp.int32), 0, F - 1)
+    ce = jnp.clip(jnp.ceil(pt).astype(jnp.int32), 0, F - 1)
+    w = (pt - jnp.floor(pt))[:, None].astype(dt)
+    sp = jnp.abs(spectrogram)
+    spec = jnp.where(fl[:, None] == ce[:, None], sp[fl],
+                     (1.0 - w) * sp[fl] + w * sp[ce])
+    apc = jnp.clip(aperiodicity, 0.001, 0.999999999999)
+    ap = jnp.where(fl[:, None] == ce[:, None], apc[fl],
+                   (1.0 - w) * apc[fl] + w * apc[ce]) ** 2
+
+    # ---- periodic response (reference :403-474) ----
+    per_on = (vuv_at > 0.5) & (ap[:, 0] <= 0.999)
+    log_per = jnp.log(spec * (1.0 - ap) + C.MY_SAFE_GUARD_MINIMUM) / 2.0
+    mp_per = minimum_phase(log_per)
+    k = jnp.arange(K, dtype=dt)
+    coeff = (2.0 * C.PI * fs / fft_size) * shift
+    re2 = jnp.cos(coeff[:, None] * k[None, :])
+    im2 = jnp.sqrt(1.0 - re2 * re2)  # |sin|: the reference's :452 quirk
+    phase = (re2 - 1j * im2).astype(mp_per.dtype)
+    per = jnp.fft.irfft(mp_per * phase, n=fft_size, axis=-1) * fft_size
+    per = jnp.roll(per, half, axis=-1)  # fftshift
+    dc = jnp.sum(per[:, half:], axis=-1, keepdims=True)
+    dcr = dc_remover(fft_size, dt)[None, :]
+    per = jnp.concatenate(
+        [-dc * dcr, per[:, half:] - dc * dcr], axis=-1)
+    per = jnp.where(per_on[:, None], per, 0.0)
+
+    # ---- aperiodic response (reference :479-530) ----
+    j = jnp.arange(fft_size)
+    nmask = j[None, :] < ns[:, None]
+    nz = noise.astype(dt) * nmask
+    nmean = jnp.sum(nz, -1, keepdims=True) / jnp.maximum(ns, 1)[:, None]
+    nz = jnp.where(nmask, nz - nmean, 0.0)
+    nspec = jnp.fft.rfft(nz, axis=-1)
+    log_ap = jnp.where((vuv_at != 0.0)[:, None],
+                       jnp.log(spec * ap) / 2.0,
+                       jnp.log(spec) / 2.0)
+    mp_ap = minimum_phase(log_ap)
+    aper = jnp.fft.irfft(mp_ap * nspec, n=fft_size, axis=-1) * fft_size
+    aper = jnp.roll(aper, half, axis=-1)
+
+    # ---- combine (reference :339-343) ----
+    resp = (per * jnp.sqrt(ns.astype(dt))[:, None] + aper) / fft_size
+    return jnp.where(valid[:, None], resp, 0.0)
+
+
 def _use_ola_kernel_default():
     """The Pallas overlap-add is the production path on TPU; the jnp
     scatter remains for CPU (tests) and the f64 parity path."""
@@ -148,53 +216,9 @@ def synthesis_frames_impl(f0, spectrogram, aperiodicity, noise, *, fs,
     ns = jnp.take(idx, nxt) - idx
     ns = jnp.where(valid, ns, 0)
 
-    # ---- per-pulse envelope / aperiodic ratio (reference :346-393) ----
-    F = f0.shape[0]
     pt = idx.astype(dt) / fs / frame_period_s
-    fl = jnp.minimum(jnp.floor(pt).astype(jnp.int32), F - 1)
-    ce = jnp.minimum(jnp.ceil(pt).astype(jnp.int32), F - 1)
-    w = (pt - jnp.floor(pt))[:, None].astype(dt)
-    sp = jnp.abs(spectrogram)
-    spec = jnp.where(fl[:, None] == ce[:, None], sp[fl],
-                     (1.0 - w) * sp[fl] + w * sp[ce])
-    apc = jnp.clip(aperiodicity, 0.001, 0.999999999999)
-    ap = jnp.where(fl[:, None] == ce[:, None], apc[fl],
-                   (1.0 - w) * apc[fl] + w * apc[ce]) ** 2
-
-    # ---- periodic response (reference :403-474) ----
-    per_on = (vuv_at > 0.5) & (ap[:, 0] <= 0.999)
-    log_per = jnp.log(spec * (1.0 - ap) + C.MY_SAFE_GUARD_MINIMUM) / 2.0
-    mp_per = minimum_phase(log_per)
-    k = jnp.arange(K, dtype=dt)
-    coeff = (2.0 * C.PI * fs / fft_size) * shift
-    re2 = jnp.cos(coeff[:, None] * k[None, :])
-    im2 = jnp.sqrt(1.0 - re2 * re2)  # |sin|: the reference's :452 quirk
-    phase = (re2 - 1j * im2).astype(mp_per.dtype)
-    per = jnp.fft.irfft(mp_per * phase, n=fft_size, axis=-1) * fft_size
-    per = jnp.roll(per, half, axis=-1)  # fftshift
-    dc = jnp.sum(per[:, half:], axis=-1, keepdims=True)
-    dcr = dc_remover(fft_size, dt)[None, :]
-    per = jnp.concatenate(
-        [-dc * dcr, per[:, half:] - dc * dcr], axis=-1)
-    per = jnp.where(per_on[:, None], per, 0.0)
-
-    # ---- aperiodic response (reference :479-530) ----
-    j = jnp.arange(fft_size)
-    nmask = j[None, :] < ns[:, None]
-    nz = noise.astype(dt) * nmask
-    nmean = jnp.sum(nz, -1, keepdims=True) / jnp.maximum(ns, 1)[:, None]
-    nz = jnp.where(nmask, nz - nmean, 0.0)
-    nspec = jnp.fft.rfft(nz, axis=-1)
-    log_ap = jnp.where((vuv_at != 0.0)[:, None],
-                       jnp.log(spec * ap) / 2.0,
-                       jnp.log(spec) / 2.0)
-    mp_ap = minimum_phase(log_ap)
-    aper = jnp.fft.irfft(mp_ap * nspec, n=fft_size, axis=-1) * fft_size
-    aper = jnp.roll(aper, half, axis=-1)
-
-    # ---- combine + overlap-add (reference :339-343, :118-139) ----
-    resp = (per * jnp.sqrt(ns.astype(dt))[:, None] + aper) / fft_size
-    resp = jnp.where(valid[:, None], resp, 0.0)
+    resp = pulse_responses(pt, shift, ns, vuv_at, valid, spectrogram,
+                           aperiodicity, noise, fs=fs, fft_size=fft_size)
 
     if use_ola is None:
         use_ola = dt != jnp.float64 and _use_ola_kernel_default()
@@ -203,6 +227,7 @@ def synthesis_frames_impl(f0, spectrogram, aperiodicity, noise, *, fs,
         y = overlap_add(resp, idx - half + 1, out_length,
                         interpret=(use_ola == "interpret"))
     else:
+        j = jnp.arange(fft_size)
         target = (idx - half + 1)[:, None] + j[None, :]
         ok = (target >= 0) & (target < out_length) & valid[:, None]
         flat_t = jnp.where(ok, target, out_length).reshape(-1)
@@ -224,6 +249,17 @@ synthesis_frames = functools.partial(jax.jit, static_argnames=(
 def make_noise(key, max_pulses, fft_size, dtype=jnp.float32):
     """Production noise input for synthesis_frames."""
     return jax.random.normal(key, (max_pulses, fft_size), dtype=dtype)
+
+
+def indexed_noise(key, start, count, fft_size, dtype=jnp.float32):
+    """Counter-based noise: row i is a deterministic function of the GLOBAL
+    pulse ordinal ``start + i`` (fold_in per row), so a chunked synthesis
+    (worldtpu.longaudio) draws bit-identical noise for pulse n regardless of
+    which chunk synthesizes it.  ``start`` may be a traced scalar."""
+    ords = start + jnp.arange(count)
+    keys = jax.vmap(lambda i: jax.random.fold_in(key, i))(ords)
+    return jax.vmap(
+        lambda k: jax.random.normal(k, (fft_size,), dtype=dtype))(keys)
 
 
 def estimate_max_pulses(f0, fs, fft_size, out_length, margin=1.15,

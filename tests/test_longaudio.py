@@ -1,0 +1,115 @@
+"""Streaming long-audio pipeline (worldtpu.longaudio) vs the unchunked
+batched programs.
+
+Like test_longform.py this is slow (a 60 s utterance through both paths);
+WORLDTPU_LONG_TEST_SECONDS overrides the duration for local iteration.
+
+Tolerances: the chunked synthesis places pulses via the same Q32
+accumulator (bitwise-continued across chunks), but the per-chunk f32
+interpolation of F0 to the sample grid rounds differently from the
+unchunked global one, so a handful of pulse boundaries land one sample
+apart; the fractional-delay phase twist keeps the waveform continuous in
+the boundary position, leaving a small localized residual (<0.5% relative
+RMS measured).  Analysis frames see identical audio through the halo;
+window knife-edges (frame time exactly on a half sample) can shift one
+sample the same way.
+"""
+
+import os
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from worldtpu.analysis.cheaptrick import CheapTrickKernel, cheaptrick_frames
+from worldtpu.analysis.d4c import d4c_frames
+from worldtpu.longaudio import LongPipeline
+from worldtpu.synthesis import synthesis as S
+
+pytestmark = pytest.mark.slow
+
+DUR = float(os.environ.get("WORLDTPU_LONG_TEST_SECONDS", "60"))
+
+
+def _long_utterance(fs, dur, seed=0):
+    n = int(fs * dur)
+    t = np.arange(n) / fs
+    f0 = 170 * 2 ** ((40 / 1200) * np.sin(2 * np.pi * 0.35 * t))
+    phase = 2 * np.pi * np.cumsum(f0) / fs
+    rng = np.random.RandomState(seed)
+    x = np.zeros(n)
+    for k in range(1, 12):
+        x += np.sin(k * phase) / k
+    x /= np.abs(x).max() * 1.4
+    g0, g1 = int(0.42 * n), int(0.47 * n)
+    x[g0:g1] = 0.003 * rng.randn(g1 - g0)
+    x += 0.002 * rng.randn(n)
+    x[-int(0.4 * fs):] = 0.0
+    return x.astype(np.float32)
+
+
+def test_long_pipeline_matches_unchunked():
+    fs = 16000
+    x = _long_utterance(fs, DUR)
+    key = jax.random.PRNGKey(7)
+
+    lp = LongPipeline(fs, f0_floor=40.0, chunk_frames=1000,
+                      harvest_chunk_ms=12000)
+    yc, f0c = lp.copy_synthesis(x, key=key)
+
+    # unchunked reference on the same F0 contour (LongHarvest-vs-unchunked
+    # F0 parity is test_longform's job) and the same counter-based noise
+    F = len(f0c)
+    ck = CheapTrickKernel(fs)
+    tpos = jnp.asarray((np.arange(F) * 0.005).astype(np.float32))
+    f0j = jnp.asarray(f0c, jnp.float32)
+    xj = jnp.asarray(x)
+    spec = cheaptrick_frames(xj, f0j, tpos, fs=fs, fft_size=ck.fft_size,
+                             max_half_window=ck.max_half_window)
+    ap = d4c_frames(xj, f0j, tpos, fs=fs, fft_size_out=ck.fft_size)
+    out_len = int((F - 1) * 0.005 * fs) + 1
+    mp = S.estimate_max_pulses(f0c.astype(np.float32), fs, ck.fft_size,
+                               out_len)
+    noise = S.indexed_noise(key, 0, mp, ck.fft_size, jnp.float32)
+    yu = np.asarray(S.synthesis_frames_impl(
+        f0j, spec, ap, noise, fs=fs, fft_size=ck.fft_size,
+        frame_period_s=0.005, out_length=out_len, max_pulses=mp))
+
+    assert len(yc) == len(yu) == out_len
+    assert np.isfinite(yc).all()
+    d = yc.astype(np.float64) - yu.astype(np.float64)
+    rms = float(np.sqrt((yu.astype(np.float64) ** 2).mean()))
+    rel = float(np.sqrt((d ** 2).mean())) / rms
+    assert rel < 0.01, f"chunked/unchunked rel RMS {rel}"
+    # energy must also agree tightly (a dropped/duplicated pulse would not)
+    assert abs(float(np.sqrt((yc.astype(np.float64) ** 2).mean())) / rms
+               - 1.0) < 0.01
+
+
+def test_long_pipeline_chunk_size_invariance():
+    """The waveform must not depend on the chunk size (counter-based noise
+    + carried Q32 phase), up to the same f32 interpolation jitter."""
+    fs = 16000
+    x = _long_utterance(fs, min(DUR, 10.0), seed=3)
+    key = jax.random.PRNGKey(1)
+    ya, _ = LongPipeline(fs, f0_floor=40.0, chunk_frames=400,
+                         harvest_chunk_ms=6000).copy_synthesis(x, key=key)
+    yb, _ = LongPipeline(fs, f0_floor=40.0, chunk_frames=900,
+                         harvest_chunk_ms=6000).copy_synthesis(x, key=key)
+    assert len(ya) == len(yb)
+    d = ya.astype(np.float64) - yb.astype(np.float64)
+    rms = float(np.sqrt((yb.astype(np.float64) ** 2).mean()))
+    assert float(np.sqrt((d ** 2).mean())) / rms < 0.01
+
+
+def test_long_pipeline_duration_and_pitch():
+    fs = 16000
+    x = _long_utterance(fs, min(DUR, 8.0), seed=5)
+    lp = LongPipeline(fs, f0_floor=40.0, chunk_frames=300,
+                      harvest_chunk_ms=6000)
+    y, f0 = lp.copy_synthesis(x, pitch_scale=1.2, duration_scale=1.25)
+    F = len(f0)
+    assert len(y) == int((F - 1) * 0.005 * 1.25 * fs) + 1
+    assert np.isfinite(y).all()
+    assert np.abs(y).max() > 0.01

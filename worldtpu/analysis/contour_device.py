@@ -107,52 +107,116 @@ def _select_best(ref_f0, cand_rows, allowed_range):
     return jnp.where(m <= allowed_range, best, 0.0)
 
 
-def _extend_dir(ch, ss, origin, limit, shift, n_sec, candidates, scores,
-                allowed_range, s_max):
-    """Parallel extendF0 (:371-403) over all sections in one direction.
+_EXTEND_CHUNK = 64
 
-    ch/ss [s_max, F+1] channels + their searchScore shadows (col F is a
-    dump slot), origin/limit [s_max].  Each walked value's searchScore
-    (:463-470) is computed here from the already-gathered candidate/score
-    rows, so the merge step never needs a [s_max, F, S] comparison.
-    Returns (ch, ss with extensions written, shifted origins)."""
+
+def _extend_both(ch, ss, st, ed, n_sec, candidates, scores,
+                 allowed_range, s_max):
+    """Parallel extendF0 (:371-403): both directions at once, compact
+    section chunks, early-exit walk.
+
+    The reference walks each voiced section outward frame by frame
+    (sequential: the running reference F0 updates as values are accepted,
+    and the walk stops after 4 consecutive misses).  The round-2 device
+    form scanned a fixed 101 steps over all s_max=(F+1)//7+1 section
+    slots, gathering [s_max, S] candidate rows per step — but real
+    contours have ~10 sections and walks stop within ~10-30 steps, so
+    >90% of that work was masked-off padding.  Here:
+
+      - an outer while_loop visits only ceil(n_sec / 64) section chunks
+        (data-dependent trip count: vmapped batches run the batch max);
+      - each chunk walks BOTH directions together (rows = fwd ++ bwd;
+        the reference extends ed-ward before st-ward, but the walks only
+        read the base channels inside their own section, so they commute);
+      - the inner while_loop exits as soon as every walk has stopped
+        (4 consecutive misses, :399-400) or passed its 100-frame limit;
+      - walked values land in the chunk's [64, F+1] row slab via one-hot
+        column writes (each step visits a fresh column), merged back with
+        dynamic_update_slice.
+
+    Returns (ch, ss with extensions written, st2, ed2 shifted origins)."""
     F = candidates.shape[0]
-    distance = jnp.abs(limit - origin)
-    rows = jnp.arange(s_max)
-    tmp0 = ch[rows, jnp.clip(origin, 0, F - 1)]
+    CK = _EXTEND_CHUNK
+    s_pad = -(-s_max // CK) * CK
+    dt = ch.dtype
+    ch = jnp.pad(ch, ((0, s_pad - s_max), (0, 0)))
+    ss = jnp.pad(ss, ((0, s_pad - s_max), (0, 0)))
+    st = jnp.pad(st, (0, s_pad - s_max), constant_values=F - 2)
+    ed = jnp.pad(ed, (0, s_pad - s_max), constant_values=1)
+    st2 = st
+    ed2 = ed
+    colw = jnp.arange(F + 1)[None, :]                       # [1, F+1]
+    rk = jnp.arange(CK)
 
-    def step(carry, i):
-        tmp, cnt, so, stopped = carry
-        j = origin + shift * (i + 1)
-        on = (rows < n_sec) & (i <= distance) & ~stopped
-        jc = jnp.clip(j, 0, F - 1)
-        cand_rows = candidates[jc]                           # [s_max, S]
-        val = _select_best(jnp.where(tmp > 0, tmp, 1.0), cand_rows,
-                          allowed_range)
-        val = jnp.where(on, val, 0.0)
-        score_rows = scores[jc]
-        m = cand_rows == val[:, None]
-        sc = jnp.max(jnp.where(m, score_rows, -jnp.inf), axis=1)
-        sc = jnp.where(jnp.any(m, axis=1), sc, 0.0)
-        zero = val == 0.0
-        cnt = jnp.where(on, jnp.where(zero, cnt + 1, 0), cnt)
-        tmp = jnp.where(on & ~zero, val, tmp)
-        so = jnp.where(on & ~zero, j, so)
-        stopped = stopped | (on & (cnt == 4))
-        jw = jnp.where(on, jc, F)
-        return (tmp, cnt, so, stopped), (jw, val, sc)
+    def chunk_cond(c):
+        return c[0] * CK < n_sec
 
-    init = (tmp0, jnp.zeros((s_max,), jnp.int32), origin,
-            jnp.zeros((s_max,), bool))
-    (_, _, so, _), (js, vals, scs) = jax.lax.scan(
-        step, init, jnp.arange(101, dtype=jnp.int32))
-    # write the walked values into the channels (dump column F for masked
-    # steps; within a section each step hits a distinct column)
-    ch = ch.at[rows[None, :], js].set(vals)
-    ch = ch.at[:, F].set(0.0)
-    ss = ss.at[rows[None, :], js].set(scs)
-    ss = ss.at[:, F].set(0.0)
-    return ch, ss, so
+    def chunk_body(carry):
+        c, ch, ss, st2, ed2 = carry
+        base = c * CK
+        ch_s = jax.lax.dynamic_slice(ch, (base, jnp.int32(0)), (CK, F + 1))
+        ss_s = jax.lax.dynamic_slice(ss, (base, jnp.int32(0)), (CK, F + 1))
+        ed_c = jax.lax.dynamic_slice(ed, (base,), (CK,))
+        st_c = jax.lax.dynamic_slice(st, (base,), (CK,))
+        live = (base + rk) < n_sec
+        # fwd rows 0..CK-1 walk ed -> ed+100; bwd rows CK.. walk st -> st-100
+        origin = jnp.concatenate([ed_c, st_c])
+        shift = jnp.concatenate([jnp.full((CK,), 1, jnp.int32),
+                                 jnp.full((CK,), -1, jnp.int32)])
+        limit = jnp.concatenate([jnp.minimum(F - 2, ed_c + 100),
+                                 jnp.maximum(1, st_c - 100)])
+        distance = jnp.abs(limit - origin)
+        live2 = jnp.concatenate([live, live])
+        row2 = jnp.concatenate([rk, rk])                    # [2CK]
+        is_fwd = jnp.arange(2 * CK) < CK
+        tmp0 = jnp.concatenate([ch_s, ch_s])[
+            jnp.arange(2 * CK), jnp.clip(origin, 0, F - 1)]
+
+        def walk_cond(w):
+            i, tmp, cnt, so, stopped, ch_s, ss_s = w
+            done = stopped | (i > distance) | ~live2
+            return (i < 101) & ~jnp.all(done)
+
+        def walk_body(w):
+            i, tmp, cnt, so, stopped, ch_s, ss_s = w
+            j = origin + shift * (i + 1)
+            on = live2 & (i <= distance) & ~stopped
+            jc = jnp.clip(j, 0, F - 1)
+            cand_rows = candidates[jc]                      # [2CK, S]
+            val = _select_best(jnp.where(tmp > 0, tmp, 1.0), cand_rows,
+                               allowed_range)
+            val = jnp.where(on, val, 0.0)
+            m = cand_rows == val[:, None]
+            sc = jnp.max(jnp.where(m, scores[jc], -jnp.inf), axis=1)
+            sc = jnp.where(jnp.any(m, axis=1), sc, 0.0)
+            zero = val == 0.0
+            cnt = jnp.where(on, jnp.where(zero, cnt + 1, 0), cnt)
+            tmp = jnp.where(on & ~zero, val, tmp)
+            so = jnp.where(on & ~zero, j, so)
+            stopped = stopped | (on & (cnt == 4))
+            # one-hot column write per direction (fresh column each step)
+            hit_f = (colw == jc[:CK, None]) & on[:CK, None]
+            hit_b = (colw == jc[CK:, None]) & on[CK:, None]
+            ch_s = jnp.where(hit_f, val[:CK, None], ch_s)
+            ch_s = jnp.where(hit_b, val[CK:, None], ch_s)
+            ss_s = jnp.where(hit_f, sc[:CK, None], ss_s)
+            ss_s = jnp.where(hit_b, sc[CK:, None], ss_s)
+            return (i + 1, tmp, cnt, so, stopped, ch_s, ss_s)
+
+        init = (jnp.int32(0), tmp0,
+                jnp.zeros((2 * CK,), jnp.int32), origin,
+                jnp.zeros((2 * CK,), bool), ch_s, ss_s)
+        _, _, _, so, _, ch_s, ss_s = jax.lax.while_loop(
+            walk_cond, walk_body, init)
+        ch = jax.lax.dynamic_update_slice(ch, ch_s, (base, jnp.int32(0)))
+        ss = jax.lax.dynamic_update_slice(ss, ss_s, (base, jnp.int32(0)))
+        ed2 = jax.lax.dynamic_update_slice(ed2, so[:CK], (base,))
+        st2 = jax.lax.dynamic_update_slice(st2, so[CK:], (base,))
+        return (c + 1, ch, ss, st2, ed2)
+
+    _, ch, ss, st2, ed2 = jax.lax.while_loop(
+        chunk_cond, chunk_body, (jnp.int32(0), ch, ss, st2, ed2))
+    return (ch[:s_max], ss[:s_max], st2[:s_max], ed2[:s_max])
 
 
 def fix_step3(f0_step2, candidates, scores, allowed_range=0.18):
@@ -186,12 +250,8 @@ def fix_step3(f0_step2, candidates, scores, allowed_range=0.18):
     ss = jnp.concatenate([ss, jnp.zeros((s_max, 1), f0_step2.dtype)], 1)
 
     # ---- extend (:427-458) ----
-    ch, ss, ed2 = _extend_dir(ch, ss, ed, jnp.minimum(F - 2, ed + 100), 1,
-                              n_sec, candidates, scores, allowed_range,
-                              s_max)
-    ch, ss, st2 = _extend_dir(ch, ss, st, jnp.maximum(1, st - 100), -1,
-                              n_sec, candidates, scores, allowed_range,
-                              s_max)
+    ch, ss, st2, ed2 = _extend_both(ch, ss, st, ed, n_sec, candidates,
+                                    scores, allowed_range, s_max)
 
     # ---- extendSub: mean-based section filter (:440-458) ----
     # NOTE: mean_f0 accumulates WITHOUT reset between sections

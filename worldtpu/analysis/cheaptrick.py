@@ -69,8 +69,17 @@ def cheaptrick_frames(x, f0, temporal_positions, *, fs, fft_size,
     offs = jnp.arange(W, dtype=jnp.int32) - max_half_window   # [W]
     in_win = jnp.abs(offs)[None, :] <= half[:, None]          # [F, W]
     origin = _matlab_round(temporal_positions.astype(dt) * fs + 0.001)
-    safe = jnp.clip(origin[:, None] + offs[None, :], 0, x.shape[0] - 1)
-    seg = x[safe]                                             # [F, W]
+    if dt == jnp.float64:  # parity path: the literal clipped gather
+        safe = jnp.clip(origin[:, None] + offs[None, :], 0, x.shape[0] - 1)
+        seg = x[safe]                                         # [F, W]
+    else:
+        # contiguous rows via edge-padded dynamic_slice — bitwise equal to
+        # the clipped gather (only window tails clip) at ~W fewer gather
+        # descriptors per frame (same trick as d4c/refine_kernel)
+        xpad = jnp.pad(x, (max_half_window, max_half_window), mode="edge")
+        seg = jax.vmap(
+            lambda s: jax.lax.dynamic_slice(xpad, (s,), (W,)))(
+                jnp.clip(origin, 0, x.shape[0] - 1))
 
     position = offs.astype(dt)[None, :] / 1.5 / fs
     win = 0.5 * jnp.cos(C.PI * position * cf0[:, None]) + 0.5

@@ -192,11 +192,23 @@ def d4c_frames(x, f0, temporal_positions, *, fs, fft_size_out, threshold=0.85,
     seg_half = max(max_half_lt, max_half_c)
     seg_pad = int(0.25 * fs / C.FLOOR_F0_D4C) + 2
     seg_origin = _matlab_round(pos * fs + 0.001)
-    seg_idx = jnp.clip(
-        seg_origin[:, None]
-        + (jnp.arange(2 * (seg_half + seg_pad) + 1) - seg_half - seg_pad),
-        0, x.shape[0] - 1)
-    frame_seg = x[seg_idx]
+    # contiguous per-frame rows via edge-padded dynamic_slice — bitwise
+    # equal to the clipped [F, W] gather (pos lies inside the signal, so
+    # only the window tails clip) at ~30x fewer gather descriptors (the
+    # same trick as ops/refine_kernel.py's segment reads; a full random
+    # gather here was the dominant D4C cost)
+    P_seg = seg_half + seg_pad
+    if dt == jnp.float64:
+        seg_idx = jnp.clip(
+            seg_origin[:, None]
+            + (jnp.arange(2 * P_seg + 1) - P_seg), 0, x.shape[0] - 1)
+        frame_seg = x[seg_idx]
+    else:
+        xpad_seg = jnp.pad(x, (P_seg, P_seg), mode="edge")
+        frame_seg = jax.vmap(
+            lambda s: jax.lax.dynamic_slice(
+                xpad_seg, (s,), (2 * P_seg + 1,)))(
+                    jnp.clip(seg_origin, 0, x.shape[0] - 1))
 
     def seg_for(max_half):
         # re-center the shared segment on each window's max_half
@@ -331,11 +343,12 @@ def d4c_frames(x, f0, temporal_positions, *, fs, fft_size_out, threshold=0.85,
     half_w = window_length // 2
     nuttall = filters.nuttall_window(window_length, dt)
     boundary = int(fft_d4c * 8.0 / window_length + 0.5)  # matlab_round, >0
-    centers = (C.FREQUENCY_INTERVAL * jnp.arange(1, n_ap + 1)
-               * fft_d4c / fs).astype(jnp.int32)              # [B]
-    jj = jnp.arange(window_length)
-    gather = centers[:, None] - half_w + jj[None, :]          # [B, Wl]
-    seg = sgd[:, gather] * nuttall[None, None, :]             # [F, B, Wl]
+    # static band centers -> pure static slices instead of a [B, Wl] gather
+    centers = [int(C.FREQUENCY_INTERVAL * (b + 1) * fft_d4c / fs)
+               for b in range(n_ap)]
+    seg = jnp.stack(
+        [sgd[:, c - half_w:c - half_w + window_length] for c in centers],
+        axis=1) * nuttall[None, None, :]                      # [F, B, Wl]
     spec_b = jnp.fft.rfft(seg, n=fft_d4c, axis=-1)            # [F,B,Kd]
     ps_b = (spec_b.real ** 2 + spec_b.imag ** 2).astype(dt)
     if dt == jnp.float64:

@@ -684,6 +684,11 @@ def _use_refine_kernel_default():
     return jax.default_backend() == "tpu"
 
 
+#: Production near-duplicate candidate tolerance for the Pallas refine
+#: (see refine_kernel.refine_stage_pallas dedup rationale); 0 disables.
+REFINE_DEDUP_TOL = 0.004
+
+
 @functools.partial(jax.jit, static_argnames=("geo", "chunk", "use_refine"))
 def harvest_device_stages(x, mean_y, *, geo, chunk=64, use_refine=None):
     """decimate -> candidates -> refine -> prune as ONE program.
@@ -700,7 +705,8 @@ def harvest_device_stages(x, mean_y, *, geo, chunk=64, use_refine=None):
         from worldtpu.ops.refine_kernel import refine_stage_pallas
         cand, score = refine_stage_pallas(
             y - mean_y, cand, tpos1, geo=geo,
-            interpret=(use_refine == "interpret"))
+            interpret=(use_refine == "interpret"),
+            dedup_tol=REFINE_DEDUP_TOL)
     else:
         cand, score = refine_stage(y - mean_y, cand, tpos1, geo=geo,
                                    chunk=chunk)

@@ -48,11 +48,12 @@ def _matlab_round(x):
 
 def _refine_frame_kernel(f0_ref, seg_ref, out_ref, *,
                          hwmax, n_fft, max_fft_index, fs_a, f0_dummy,
-                         delta_row, gf):
+                         delta_row, gf, pairs=8):
     f32 = jnp.float32
+    P = pairs
     out_ref[...] = jnp.zeros_like(out_ref)
-    lane = jax.lax.broadcasted_iota(jnp.int32, (8, 128), 1)
-    sub = jax.lax.broadcasted_iota(jnp.int32, (8, 128), 0)
+    lane = jax.lax.broadcasted_iota(jnp.int32, (P, 128), 1)
+    sub = jax.lax.broadcasted_iota(jnp.int32, (P, 128), 0)
     two_pi = 2.0 * C.PI
 
     def frame(fi, carry_f):
@@ -60,18 +61,18 @@ def _refine_frame_kernel(f0_ref, seg_ref, out_ref, *,
         # be batch-blocked under vmap): delta is replicated in seg's spare
         # row, n_active is the count of nonzero compacted slots
         deltav = jnp.broadcast_to(
-            seg_ref[fi, delta_row:delta_row + 1, :], (8, 128))
+            seg_ref[fi, delta_row:delta_row + 1, :], (P, 128))
         nact = jnp.sum((f0_ref[fi] > 0.0).astype(jnp.int32))
-        ngroups = (nact + 7) // 8
+        ngroups = (nact + P - 1) // P
         jax.lax.fori_loop(
             0, ngroups,
             lambda g, c: group(fi, deltav, nact, g, c), jnp.int32(0))
         return carry_f
 
     def group(fi, deltav, nact, g, carry):
-        f0_raw = f0_ref[fi, pl.ds(8 * g, 8), :]             # [8, 1]
+        f0_raw = f0_ref[fi, pl.ds(P * g, P), :]             # [P, 1]
         f0 = jnp.where(f0_raw > 0.0, f0_raw, f0_dummy)
-        active = (sub + 8 * g) < nact                       # [8, 128]
+        active = (sub + P * g) < nact                       # [P, 128]
         hw = (1.5 * fs_a / f0 + 1.0).astype(jnp.int32)      # [8, 1]
         wlf = (2 * hw + 1).astype(f32)
         fidx = 2 + (jnp.log(wlf) / C.LOG2).astype(jnp.int32)
@@ -118,7 +119,7 @@ def _refine_frame_kernel(f0_ref, seg_ref, out_ref, *,
         def block(j, carry_b):
             cw, sw, chs, shs, accs = carry_b
             s = seg_ref[fi, pl.ds(j, 1), :]                 # [1, 128]
-            segb = jnp.broadcast_to(s, (8, 128))
+            segb = jnp.broadcast_to(s, (P, 128))
             m = 128 * j + lane                              # [8, 128] int32
             dmm = m - hwmax
 
@@ -150,20 +151,22 @@ def _refine_frame_kernel(f0_ref, seg_ref, out_ref, *,
         _, _, _, _, accs = jax.lax.fori_loop(
             jlo, jhi + 1, block,
             (c0, s0, tuple(ch0), tuple(sh0),
-             tuple(jnp.zeros((8, 128), f32) for _ in range(24))))
-        out = jnp.zeros((8, 128), f32)
+             tuple(jnp.zeros((P, 128), f32) for _ in range(24))))
+        out = jnp.zeros((P, 128), f32)
         for h in range(6):
             for c, sgn in ((0, 1.0), (1, -1.0), (2, 1.0), (3, -1.0)):
                 r = sgn * jnp.sum(accs[4 * h + c], axis=1, keepdims=True)
                 out = out + r * (lane == (32 * c + h)).astype(f32)
-        out_ref[fi, pl.ds(8 * g, 8), :] = out
+        out_ref[fi, pl.ds(P * g, P), :] = out
         return carry
 
     jax.lax.fori_loop(0, gf, frame, jnp.int32(0))
 
 
-@functools.partial(jax.jit, static_argnames=("geo", "interpret"))
-def refine_stage_pallas(y, cand, tpos, *, geo, interpret=False):
+@functools.partial(jax.jit, static_argnames=("geo", "interpret", "pairs",
+                                             "dedup_tol"))
+def refine_stage_pallas(y, cand, tpos, *, geo, interpret=False, pairs=8,
+                        dedup_tol=0.0):
     """Adaptive refine for the production f32 path.
 
     Drop-in for `harvest.refine_stage` EXCEPT that refined candidates come
@@ -182,8 +185,25 @@ def refine_stage_pallas(y, cand, tpos, *, geo, interpret=False):
     # pairs in an 8-slot kernel group then share similar widths, so the
     # group's dynamic block range (set by its widest pair) wastes little
     active = cand > 0.0
-    n_active = jnp.minimum(jnp.sum(active, axis=1), CAP)    # [F]
-    cand_c = jnp.sort(jnp.where(active, cand, jnp.inf), axis=1)[:, :CAP]
+    cand_s = jnp.sort(jnp.where(active, cand, jnp.inf), axis=1)
+    if dedup_tol > 0.0:
+        # near-duplicate candidates refine to the same instantaneous-
+        # frequency attractor (and thus the same score): the +-3-frame
+        # overlap spreading (harvest.cpp:987-999) makes ~7x copies whose
+        # values drift by <~1% frame to frame, so refining one
+        # representative per dedup_tol-cluster is value-equivalent for
+        # every downstream consumer (argmax score, nearest-candidate
+        # selection, neighbor-consistency pruning operate on VALUES).
+        # Production-only shortcut: the f64 parity path never takes it.
+        prev = cand_s[:, :-1]
+        dup = jnp.concatenate(
+            [jnp.zeros((F, 1), bool),
+             (cand_s[:, 1:] - prev) <= dedup_tol * prev], axis=1)
+        dup = dup & jnp.isfinite(cand_s)
+        cand_s = jnp.sort(jnp.where(dup, jnp.inf, cand_s), axis=1)
+    n_active = jnp.minimum(
+        jnp.sum(jnp.isfinite(cand_s), axis=1), CAP)         # [F]
+    cand_c = cand_s[:, :CAP]
     cand_c = jnp.where(jnp.isfinite(cand_c), cand_c, 0.0)
     kk = jnp.arange(CAP)[None, :]
     valid = kk < n_active[:, None]
@@ -222,7 +242,8 @@ def refine_stage_pallas(y, cand, tpos, *, geo, interpret=False):
     kern = functools.partial(
         _refine_frame_kernel, hwmax=hwmax, n_fft=n_fft,
         max_fft_index=geo.max_fft_index, fs_a=fs_a,
-        f0_dummy=float(geo.f0_ceil), delta_row=delta_row, gf=GF)
+        f0_dummy=float(geo.f0_ceil), delta_row=delta_row, gf=GF,
+        pairs=pairs)
     sums = pl.pallas_call(
         kern,
         grid=(Fp // GF,),

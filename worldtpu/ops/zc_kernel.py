@@ -152,7 +152,12 @@ def _zc_group_kernel(filt_ref, out_ref, colbuf, cnt_smem, *,
             # 8 columns per step: lanes 0..7 are STATIC slices, then one
             # 8-lane rotate — 8x fewer full-tile shuffles than rolling one
             # lane at a time (Mosaic has no dynamic-lane indexing, so the
-            # carried tile rotation is how columns reach lane 0)
+            # carried tile rotation is how columns reach lane 0).
+            # NOTE: a prefix-scan + dynamic-roll block compaction (one
+            # slab store per 8 columns) was tried and is ~40% SLOWER —
+            # 8 dynamic sublane rotations cost more than 8 small stores —
+            # and needs per-column overflow clamps the dense chain gets
+            # for free.
             off, tile = carry
             for j in range(8):
                 col = tile[:, j:j + 1]
@@ -178,50 +183,51 @@ def _zc_group_kernel(filt_ref, out_ref, colbuf, cnt_smem, *,
               & (cnt_smem[2] - 1 > 2) & (cnt_smem[3] - 1 > 2))
 
     lane128 = jax.lax.broadcasted_iota(jnp.int32, (1, 128), 1)
-    subw = jax.lax.broadcasted_iota(jnp.int32, (win, 1), 0)
+    wext = win + 8
+    subw = jax.lax.broadcasted_iota(jnp.int32, (wext, 1), 0)
 
     for t in range(4):
         n_loc = jnp.minimum(cnt_smem[t] - 1, e_cap - 8)
         seg_hi = jnp.maximum(n_loc - 1, 1)
 
-        def window(jb):
-            """locations/intervals for events [jb, jb+win+1)."""
-            colw = colbuf[pl.ds(jb, win + 8), t:t + 1]   # [win+8, 1]
-            locw = (colw[:win + 1] + colw[1:win + 2]) / 2.0 / fs_a
-            itvw = fs_a / (colw[1:win + 2] - colw[:win + 1])
-            return locw, itvw
-
         def frame_tile(ft, jb):
+            # ONE window read covers both the frame-count compare and the
+            # interpolation select: nle = jb + count gives d in
+            # [jb-1, jb+win-1] (count >= 0, and jb is clamped to
+            # n_loc-2 so the seg_hi clip can never push d below jb-1),
+            # so a window based 8 below jb spans every selected row —
+            # the old second dmin-based read is redundant
             fgrid = (128 * ft + lane128).astype(dt)
-            locw, _ = window(jb)
-            ffw = jnp.ceil(locw[:win] * 1000.0)
-            cmp = ffw <= fgrid                            # [win, 128]
+            jb0 = jnp.clip(jb - 8, 0, e_cap - wext - 8)
+            off = jb - jb0                                  # 0 or 8
+            colw = colbuf[pl.ds(jb0, wext + 8), t:t + 1]    # [wext+8, 1]
+            locw = (colw[:wext + 1] + colw[1:wext + 2]) / 2.0 / fs_a
+            itvw = fs_a / (colw[1:wext + 2] - colw[:wext + 1])
+            # interpolation as per-SEGMENT-row slope (3 masked sums
+            # instead of 4): vals = y0 + (t - x0) * s with
+            # s = (y1-y0)/(x1-x0) precomputed per row.  The product stays
+            # anchored at the selected row's own x0, so no cancellation
+            # even for pathological slopes (adjacent-sample events give
+            # |s| up to ~3e7).  Rows at/after the last location have
+            # inf/NaN slope -> sanitized (never selected by oh).
+            x0r = locw[:wext]
+            slope = (itvw[1:wext + 1] - itvw[:wext]) \
+                / (locw[1:wext + 1] - locw[:wext])
+            slope = jnp.where(jnp.isfinite(slope), slope, 0.0)
+            y0r = jnp.where(jnp.isfinite(itvw[:wext]), itvw[:wext], 0.0)
+            x0s = jnp.where(jnp.isfinite(x0r), x0r, 0.0)
+
+            ffw = jnp.ceil(locw[:wext] * 1000.0)
+            in_cmp = (subw >= off) & (subw < off + win)
+            cmp = in_cmp & (ffw <= fgrid)                   # [wext, 128]
             nle = jb + jnp.sum(cmp.astype(jnp.int32), axis=0,
-                               keepdims=True, dtype=jnp.int32)            # [1, 128]
-            seg = jnp.clip(nle, 1, seg_hi)
-            d = seg - 1
-            # select window
-            dmin = jnp.min(d)
-            jb2 = jnp.clip((dmin // 8) * 8, 0, e_cap - win - 8)
-            locw2, itvw2 = window(jb2)
-            oh = (subw + jb2) == d                        # [win, 128]
-            # one [4, win] @ [win, 128] MXU pass gathers all four
-            # interpolation taps (the four masked [win, 128] sums were
-            # ~half the merge-sweep's VPU work)
-            # NOTE: gathering the four interpolation taps through one
-            # [4, win] x [win, 128] MXU dot was tried and is ~1.7x SLOWER
-            # than these masked sums (the one-hot's relayout into MXU
-            # operand format dominates)
-            x0 = jnp.sum(jnp.where(oh, locw2[:win], 0.0), axis=0,
-                         keepdims=True)
-            x1 = jnp.sum(jnp.where(oh, locw2[1:win + 1], 0.0), axis=0,
-                         keepdims=True)
-            y0 = jnp.sum(jnp.where(oh, itvw2[:win], 0.0), axis=0,
-                         keepdims=True)
-            y1 = jnp.sum(jnp.where(oh, itvw2[1:win + 1], 0.0), axis=0,
-                         keepdims=True)
-            tpos = fgrid / 1000.0
-            vals = y0 + (tpos - x0) / (x1 - x0) * (y1 - y0)  # [1, 128]
+                               keepdims=True, dtype=jnp.int32)  # [1, 128]
+            d = jnp.clip(nle, 1, seg_hi) - 1
+            oh = (subw + jb0) == d                          # [wext, 128]
+            A = jnp.sum(jnp.where(oh, y0r, 0.0), axis=0, keepdims=True)
+            X = jnp.sum(jnp.where(oh, x0s, 0.0), axis=0, keepdims=True)
+            B = jnp.sum(jnp.where(oh, slope, 0.0), axis=0, keepdims=True)
+            vals = A + (fgrid / 1000.0 - X) * B             # [1, 128]
             fo = pl.multiple_of(128 * ft, 128)
             prev = out_ref[0, 0:1, pl.ds(fo, 128)]
             out_ref[0, 0:1, pl.ds(fo, 128)] = prev + vals

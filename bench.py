@@ -348,20 +348,21 @@ def main():
         ref4 = measure_reference(bench_bin, work / "u48.wav", work)
         hk4 = HarvestKernel(fs4, len(x4), f0_floor=40.0)
         ck4 = CheapTrickKernel(fs4)
-        x4_dev = jax.device_put(jnp.asarray(x4))
+        x4_dev = jax.device_put(jnp.asarray(x4)[None])
         jax.block_until_ready(x4_dev)
-        F4 = 1 + int(1000.0 * len(x4) / fs4 / 5.0)
-        tp4 = jax.device_put(jnp.asarray(np.arange(F4) * 0.005, jnp.float32))
+        F4 = hk4.get_samples()
         out_len4 = int((F4 - 1) * 0.005 * fs4) + 1
-        mp4 = S.default_max_pulses(out_len4, fs4)
+        f0_once4 = np.stack([f for f, _ in hk4.compute_batch(x4_dev)])
+        mp4 = S.estimate_max_pulses(f0_once4.astype(np.float32), fs4,
+                                    ck4.fft_size, out_len4)
         noise4 = S.make_noise(jax.random.PRNGKey(1), mp4, ck4.fft_size,
                               jnp.float32)[None]
 
         def run4():
-            f0, _ = hk4.compute(x4_dev, dtype=jnp.float32)
-            f0b = jnp.asarray(f0[:F4], jnp.float32)[None]
-            y, _, _ = B.batch_copy_synthesis(
-                x4_dev[None], f0b, tp4, noise4, fs=fs4,
+            # the fused single-dispatch wav->wav program (F0 never visits
+            # the host) — one dispatch + one download per utterance
+            y, _ = B.batch_wav_to_wav(
+                x4_dev, noise4, geo=hk4.geo, fs=fs4,
                 fft_size=ck4.fft_size, max_half_window=ck4.max_half_window,
                 frame_period_s=0.005, out_length=out_len4, max_pulses=mp4,
                 mesh=None)

@@ -403,7 +403,12 @@ def _biquad_batch(x):
 
 
 def smooth_f0_contour(f0, s_max=None):
-    """Per-section zero-lag Butterworth smoothing (reference :670-703)."""
+    """Per-section zero-lag Butterworth smoothing (reference :670-703).
+
+    Sections are processed in 32-row chunks under a while_loop with a
+    data-dependent trip count (real contours have ~10 sections, the static
+    s_max=(F+1)//7+1 slot layout ~430 — the padded rows were >90% of the
+    smoothing matmuls; same compact-chunk pattern as _extend_both)."""
     F = f0.shape[0]
     n = F + 2 * _LAG
     if s_max is None:
@@ -411,25 +416,43 @@ def smooth_f0_contour(f0, s_max=None):
     padded = jnp.pad(f0, (_LAG, _LAG))
     v = _vmask(padded)
     st_mask, ed_mask, rank = _runs(v)
-    st = _positions(st_mask, s_max, n - 1)
-    ed = _positions(ed_mask, s_max, 0)
-    rows = jnp.arange(s_max)
+    n_sec = jnp.sum(st_mask)
+    CK = 32
+    s_pad = -(-s_max // CK) * CK
+    st = jnp.pad(_positions(st_mask, s_max, n - 1), (0, s_pad - s_max),
+                 constant_values=n - 1)
+    ed = jnp.pad(_positions(ed_mask, s_max, 0), (0, s_pad - s_max))
+    rk = jnp.arange(CK)
     jidx = jnp.arange(n)
-    # edge-held per-section signals x[clip(j, st, ed)], gather-free: the
-    # held regions are per-section constants, the middle is the shared
-    # padded signal (a [s_max, n] clipped gather costs ~40 ms on TPU)
-    edge_lo = padded[jnp.clip(st, 0, n - 1)]
-    edge_hi = padded[jnp.clip(ed, 0, n - 1)]
-    chs = jnp.where(jidx[None, :] < st[:, None], edge_lo[:, None],
-                    jnp.where(jidx[None, :] > ed[:, None],
-                              edge_hi[:, None], padded[None, :]))
-    chs = jnp.where((rows < jnp.sum(st_mask))[:, None], chs, 0.0)
-    sm = _biquad_batch(_biquad_batch(chs))
-    # compose: frame j (1 ms grid) reads its section's smoothed value
-    sid = jnp.where(v, rank, s_max - 1)
-    core = sid[_LAG:_LAG + F]
-    vals = sm[jnp.clip(core, 0, s_max - 1), jnp.arange(_LAG, _LAG + F)]
-    return jnp.where(v[_LAG:_LAG + F], vals, 0.0)
+    sid = jnp.where(v, rank, -1)                            # [n]
+
+    def chunk_cond(c):
+        return c[0] * CK < n_sec
+
+    def chunk_body(carry):
+        c, out = carry
+        base = c * CK
+        st_c = jax.lax.dynamic_slice(st, (base,), (CK,))
+        ed_c = jax.lax.dynamic_slice(ed, (base,), (CK,))
+        live = (base + rk) < n_sec
+        # edge-held per-section signals x[clip(j, st, ed)], gather-free:
+        # the held regions are per-section constants, the middle is the
+        # shared padded signal (a clipped gather costs ~40 ms on TPU)
+        edge_lo = padded[jnp.clip(st_c, 0, n - 1)]
+        edge_hi = padded[jnp.clip(ed_c, 0, n - 1)]
+        chs = jnp.where(jidx[None, :] < st_c[:, None], edge_lo[:, None],
+                        jnp.where(jidx[None, :] > ed_c[:, None],
+                                  edge_hi[:, None], padded[None, :]))
+        chs = jnp.where(live[:, None], chs, 0.0)
+        sm = _biquad_batch(_biquad_batch(chs))
+        hit = sid[None, :] == (base + rk)[:, None]          # [CK, n]
+        out = out + jnp.sum(jnp.where(hit, sm, 0.0), axis=0)
+        return (c + 1, out)
+
+    _, out = jax.lax.while_loop(
+        chunk_cond, chunk_body,
+        (jnp.int32(0), jnp.zeros((n,), f0.dtype)))
+    return jnp.where(v[_LAG:_LAG + F], out[_LAG:_LAG + F], 0.0)
 
 
 def fix_and_smooth(candidates, scores, n_out, frame_period_ms):

@@ -164,9 +164,9 @@ def _refine_frame_kernel(f0_ref, seg_ref, out_ref, *,
 
 
 @functools.partial(jax.jit, static_argnames=("geo", "interpret", "pairs",
-                                             "dedup_tol"))
+                                             "dedup_tol", "gf"))
 def refine_stage_pallas(y, cand, tpos, *, geo, interpret=False, pairs=8,
-                        dedup_tol=0.0):
+                        dedup_tol=0.0, gf=8):
     """Adaptive refine for the production f32 path.
 
     Drop-in for `harvest.refine_stage` EXCEPT that refined candidates come
@@ -234,7 +234,7 @@ def refine_stage_pallas(y, cand, tpos, *, geo, interpret=False, pairs=8,
 
     # multiple frames per grid cell amortize the per-cell DMA/setup cost
     # (3001 single-frame cells measured ~40% of the kernel wall)
-    GF = 8
+    GF = gf
     Fp = -(-F // GF) * GF
     f0_in = jnp.pad(f0_in, ((0, Fp - F), (0, 0)))
     seg = jnp.pad(seg, ((0, Fp - F), (0, 0), (0, 0)))

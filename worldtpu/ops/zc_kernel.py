@@ -129,6 +129,8 @@ def _zc_group_kernel(filt_ref, out_ref, colbuf, cnt_smem, *,
 
     types = ((sT, snx, y_length), (-sT, -snx, y_length),
              (g, gnx, y_length - 1), (-g, -gnx, y_length - 1))
+    s8 = _round_up_static(stot, 8)
+    chunks = []
     for t, (sig, signx, n_eff) in enumerate(types):
         mask = (sig > 0.0) & (signx <= 0.0) & (gi < n_eff - 1)
         fine = (gi + 1).astype(dt) - sig / (signx - sig)
@@ -143,39 +145,48 @@ def _zc_group_kernel(filt_ref, out_ref, colbuf, cnt_smem, *,
             rows.append(jnp.sum(jnp.where(sel, fine, 0.0), axis=0,
                                 keepdims=True))          # [1, Stot]
         chunkT = jnp.concatenate(rows, axis=0)           # [c_row, Stot]
-        s8 = _round_up_static(stot, 8)
         if s8 != stot:
             chunkT = jnp.concatenate(
                 [chunkT, jnp.zeros((c_row, s8 - stot), dt)], axis=1)
+        chunks.append(chunkT)
 
-        def store_blk(s, carry):
-            # 8 columns per step: lanes 0..7 are STATIC slices, then one
-            # 8-lane rotate — 8x fewer full-tile shuffles than rolling one
-            # lane at a time (Mosaic has no dynamic-lane indexing, so the
-            # carried tile rotation is how columns reach lane 0).
-            # NOTE: a prefix-scan + dynamic-roll block compaction (one
-            # slab store per 8 columns) was tried and is ~40% SLOWER —
-            # 8 dynamic sublane rotations cost more than 8 small stores —
-            # and needs per-column overflow clamps the dense chain gets
-            # for free.
-            off, tile = carry
+    def store_blk(s, carry):
+        # 8 columns per step and ALL FOUR event types per iteration: the
+        # four offset chains are independent, so fusing their loops lets
+        # the scheduler overlap the serially-dependent store/offset chains
+        # (separate per-type fori_loops barrier between them).  Lanes
+        # 0..7 are STATIC slices, then one 8-lane rotate per tile
+        # (Mosaic has no dynamic-lane indexing).
+        # NOTE: a prefix-scan + dynamic-roll block compaction (one slab
+        # store per 8 columns) was tried and is ~40% SLOWER — 8 dynamic
+        # sublane rotations cost more than 8 small stores — and needs
+        # per-column overflow clamps the dense chain gets for free.
+        offs, tiles = carry
+        new_offs = []
+        for t in range(4):
+            off = offs[t]
+            tile = tiles[t]
             for j in range(8):
                 col = tile[:, j:j + 1]
                 rc = jnp.sum((col > 0.0).astype(jnp.int32),
                              dtype=jnp.int32)
                 o = jnp.minimum(off, e_cap - c_row)
-                # unconditional store: an empty column writes c_row infs at
-                # `off` without advancing it — the next nonempty column
+                # unconditional store: an empty column writes c_row infs
+                # at `off` without advancing it — the next nonempty column
                 # overwrites them, and trailing infs equal the buffer's
                 # init value
                 colbuf[pl.ds(o, c_row), t:t + 1] = jnp.where(
                     col > 0.0, col, jnp.inf)
                 off = off + rc
-            return off, pltpu.roll(tile, s8 - 8, axis=1)
+            new_offs.append(off)
+        return (tuple(new_offs),
+                tuple(pltpu.roll(tl, s8 - 8, axis=1) for tl in tiles))
 
-        cnt, _ = jax.lax.fori_loop(
-            0, s8 // 8, store_blk, (jnp.int32(0), chunkT))
-        cnt_smem[t] = cnt
+    cnts, _ = jax.lax.fori_loop(
+        0, s8 // 8, store_blk,
+        (tuple(jnp.int32(0) for _ in range(4)), tuple(chunks)))
+    for t in range(4):
+        cnt_smem[t] = cnts[t]
 
     # ---- phase 2: locations/intervals + merge-sweep interpolation ----
     out_ref[...] = jnp.zeros((1, 8, f_pad), dt)
@@ -186,18 +197,25 @@ def _zc_group_kernel(filt_ref, out_ref, colbuf, cnt_smem, *,
     wext = win + 8
     subw = jax.lax.broadcasted_iota(jnp.int32, (wext, 1), 0)
 
-    for t in range(4):
-        n_loc = jnp.minimum(cnt_smem[t] - 1, e_cap - 8)
-        seg_hi = jnp.maximum(n_loc - 1, 1)
+    n_locs = [jnp.minimum(cnt_smem[t] - 1, e_cap - 8) for t in range(4)]
+    seg_his = [jnp.maximum(n_locs[t] - 1, 1) for t in range(4)]
 
-        def frame_tile(ft, jb):
-            # ONE window read covers both the frame-count compare and the
-            # interpolation select: nle = jb + count gives d in
-            # [jb-1, jb+win-1] (count >= 0, and jb is clamped to
-            # n_loc-2 so the seg_hi clip can never push d below jb-1),
-            # so a window based 8 below jb spans every selected row —
-            # the old second dmin-based read is redundant
-            fgrid = (128 * ft + lane128).astype(dt)
+    def frame_tile(ft, jbs):
+        # ONE window read per type covers both the frame-count compare and
+        # the interpolation select: nle = jb + count gives d in
+        # [jb-1, jb+win-1] (count >= 0, and jb is clamped to n_loc-2 so
+        # the seg_hi clip can never push d below jb-1), so a window based
+        # 8 below jb spans every selected row — the old second dmin-based
+        # read was redundant.  ALL FOUR event types run in one loop body:
+        # their window-base chains are independent, so the scheduler
+        # overlaps the serially-dependent read/count/advance chains
+        # (separate per-type loops were ~1.5x slower), and the four
+        # contour contributions land in ONE output write per tile.
+        fgrid = (128 * ft + lane128).astype(dt)
+        vals_sum = jnp.zeros((1, 128), dt)
+        new_jbs = []
+        for t in range(4):
+            jb = jbs[t]
             jb0 = jnp.clip(jb - 8, 0, e_cap - wext - 8)
             off = jb - jb0                                  # 0 or 8
             colw = colbuf[pl.ds(jb0, wext + 8), t:t + 1]    # [wext+8, 1]
@@ -222,24 +240,25 @@ def _zc_group_kernel(filt_ref, out_ref, colbuf, cnt_smem, *,
             cmp = in_cmp & (ffw <= fgrid)                   # [wext, 128]
             nle = jb + jnp.sum(cmp.astype(jnp.int32), axis=0,
                                keepdims=True, dtype=jnp.int32)  # [1, 128]
-            d = jnp.clip(nle, 1, seg_hi) - 1
+            d = jnp.clip(nle, 1, seg_his[t]) - 1
             oh = (subw + jb0) == d                          # [wext, 128]
             A = jnp.sum(jnp.where(oh, y0r, 0.0), axis=0, keepdims=True)
             X = jnp.sum(jnp.where(oh, x0s, 0.0), axis=0, keepdims=True)
             B = jnp.sum(jnp.where(oh, slope, 0.0), axis=0, keepdims=True)
-            vals = A + (fgrid / 1000.0 - X) * B             # [1, 128]
-            fo = pl.multiple_of(128 * ft, 128)
-            prev = out_ref[0, 0:1, pl.ds(fo, 128)]
-            out_ref[0, 0:1, pl.ds(fo, 128)] = prev + vals
+            vals_sum = vals_sum + (A + (fgrid / 1000.0 - X) * B)
             # advance the window base
             adv = jnp.sum(cmp[:, 127:128].astype(jnp.int32),
                           dtype=jnp.int32)
             jbn = jnp.maximum(jb + adv - 8, 0)
-            jbn = jnp.minimum(jbn, jnp.maximum(n_loc - 2, 0))
+            jbn = jnp.minimum(jbn, jnp.maximum(n_locs[t] - 2, 0))
             jbn = jnp.minimum((jbn // 8) * 8, e_cap - win - 8)
-            return jnp.maximum(jbn, 0)
+            new_jbs.append(jnp.maximum(jbn, 0))
+        fo = pl.multiple_of(128 * ft, 128)
+        out_ref[0, 0:1, pl.ds(fo, 128)] = vals_sum
+        return tuple(new_jbs)
 
-        jax.lax.fori_loop(0, n_frames_tiles, frame_tile, jnp.int32(0))
+    jax.lax.fori_loop(0, n_frames_tiles, frame_tile,
+                      tuple(jnp.int32(0) for _ in range(4)))
 
     res = out_ref[0, 0:1, :] / 4.0
     out_ref[0, 0:1, :] = jnp.where(usable, res, 0.0)

@@ -138,36 +138,40 @@ def pulse_responses(pt, shift, ns, vuv_at, valid, spectrogram,
     ap = jnp.where(fl[:, None] == ce[:, None], apc[fl],
                    (1.0 - w) * apc[fl] + w * apc[ce]) ** 2
 
-    # ---- periodic response (reference :403-474) ----
+    # ---- periodic + aperiodic responses (reference :403-474, :479-530),
+    #      minimum-phase and inverse FFTs batched across both kinds ----
     per_on = (vuv_at > 0.5) & (ap[:, 0] <= 0.999)
     log_per = jnp.log(spec * (1.0 - ap) + C.MY_SAFE_GUARD_MINIMUM) / 2.0
-    mp_per = minimum_phase(log_per)
+    log_ap = jnp.where((vuv_at != 0.0)[:, None],
+                       jnp.log(spec * ap) / 2.0,
+                       jnp.log(spec) / 2.0)
+    P = log_per.shape[0]
+    mp_both = minimum_phase(jnp.concatenate([log_per, log_ap], axis=0))
+    mp_per, mp_ap = mp_both[:P], mp_both[P:]
+
     k = jnp.arange(K, dtype=dt)
     coeff = (2.0 * C.PI * fs / fft_size) * shift
     re2 = jnp.cos(coeff[:, None] * k[None, :])
     im2 = jnp.sqrt(1.0 - re2 * re2)  # |sin|: the reference's :452 quirk
     phase = (re2 - 1j * im2).astype(mp_per.dtype)
-    per = jnp.fft.irfft(mp_per * phase, n=fft_size, axis=-1) * fft_size
-    per = jnp.roll(per, half, axis=-1)  # fftshift
-    dc = jnp.sum(per[:, half:], axis=-1, keepdims=True)
-    dcr = dc_remover(fft_size, dt)[None, :]
-    per = jnp.concatenate(
-        [-dc * dcr, per[:, half:] - dc * dcr], axis=-1)
-    per = jnp.where(per_on[:, None], per, 0.0)
 
-    # ---- aperiodic response (reference :479-530) ----
     j = jnp.arange(fft_size)
     nmask = j[None, :] < ns[:, None]
     nz = noise.astype(dt) * nmask
     nmean = jnp.sum(nz, -1, keepdims=True) / jnp.maximum(ns, 1)[:, None]
     nz = jnp.where(nmask, nz - nmean, 0.0)
     nspec = jnp.fft.rfft(nz, axis=-1)
-    log_ap = jnp.where((vuv_at != 0.0)[:, None],
-                       jnp.log(spec * ap) / 2.0,
-                       jnp.log(spec) / 2.0)
-    mp_ap = minimum_phase(log_ap)
-    aper = jnp.fft.irfft(mp_ap * nspec, n=fft_size, axis=-1) * fft_size
-    aper = jnp.roll(aper, half, axis=-1)
+
+    both = jnp.fft.irfft(
+        jnp.concatenate([mp_per * phase, mp_ap * nspec], axis=0),
+        n=fft_size, axis=-1) * fft_size
+    both = jnp.roll(both, half, axis=-1)  # fftshift
+    per, aper = both[:P], both[P:]
+    dc = jnp.sum(per[:, half:], axis=-1, keepdims=True)
+    dcr = dc_remover(fft_size, dt)[None, :]
+    per = jnp.concatenate(
+        [-dc * dcr, per[:, half:] - dc * dcr], axis=-1)
+    per = jnp.where(per_on[:, None], per, 0.0)
 
     # ---- combine (reference :339-343) ----
     resp = (per * jnp.sqrt(ns.astype(dt))[:, None] + aper) / fft_size

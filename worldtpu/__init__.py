@@ -13,7 +13,7 @@ __version__ = "0.1.0"
 
 _API_NAMES = (
     "HarvestOption", "CheapTrickOption", "D4COption",
-    "Harvest", "CheapTrick", "D4C", "Synthesis",
+    "Harvest", "CheapTrick", "D4C", "Synthesis", "World",
 )
 
 

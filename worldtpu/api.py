@@ -171,3 +171,71 @@ class Synthesis:
                     f"pulse count exceeds max_pulses={max_pulses} "
                     f"(hard bound {hard}); pass a larger max_pulses")
             max_pulses = min(hard, max_pulses * 2)
+
+
+class World:
+    """Fused pipeline facade: the reference demo's whole workflow
+    (/root/reference/test/test.cpp:288-384 — Harvest -> CheapTrick -> D4C
+    [-> Synthesis]) as ONE compiled program per input geometry.
+
+    The per-class facades above mirror the reference's four separate
+    compute() calls; on TPU each call pays a dispatch + download round
+    trip, which dominates a single short utterance.  `World.analyze` and
+    `World.copy_synthesis` run the same math as one jitted program with
+    F0 never visiting the host (production float32 path).
+    """
+
+    def __init__(self, fs: int, *, frame_period: float = 5.0,
+                 f0_floor: float = C.FLOOR_F0, f0_ceil: float = C.CEIL_F0):
+        self.fs = fs
+        self.frame_period = frame_period
+        self.f0_floor = f0_floor
+        self.f0_ceil = f0_ceil
+        # CheapTrick keeps its own default floor geometry regardless of the
+        # Harvest search floor — exactly like the reference demo, where
+        # HarvestOption.f0_floor=40 coexists with default CheapTrickOption
+        # (/root/reference/test/test.cpp:96-99,139-143)
+        self._cheaptrick = CheapTrick(fs)
+        self.fft_size = self._cheaptrick.fft_size
+        self._harvest = Harvest(fs, HarvestOption(
+            f0_floor=f0_floor, f0_ceil=f0_ceil, frame_period=frame_period))
+
+    def analyze(self, x, pitch_scale: float = 1.0, dtype=jnp.float32):
+        """wav -> (temporal_positions, f0, spectrogram, aperiodicity),
+        one device dispatch."""
+        from worldtpu.parallel import batch as _B
+        x = np.asarray(x, np.float32 if dtype == jnp.float32 else np.float64)
+        hk = self._harvest._kernel(len(x))
+        ck = self._cheaptrick._kernel
+        f0, spec, ap = _B.batch_analyze(
+            jnp.asarray(x, dtype)[None], geo=hk.geo, fs=self.fs,
+            fft_size=self.fft_size, max_half_window=ck.max_half_window,
+            pitch_scale=pitch_scale)
+        F = f0.shape[1]
+        tpos = np.arange(F) * (self.frame_period / 1000.0)
+        return tpos, np.asarray(f0[0]), np.asarray(spec[0]), \
+            np.asarray(ap[0])
+
+    def copy_synthesis(self, x, *, pitch_scale: float = 1.0,
+                       duration_scale: float = 1.0, key=None,
+                       dtype=jnp.float32):
+        """wav -> wav (analysis + resynthesis with optional pitch/duration
+        modification), one device dispatch; returns (y, f0)."""
+        from worldtpu.parallel import batch as _B
+        x = np.asarray(x, np.float32 if dtype == jnp.float32 else np.float64)
+        hk = self._harvest._kernel(len(x))
+        ck = self._cheaptrick._kernel
+        F = hk.get_samples()
+        fp_s = self.frame_period / 1000.0 * duration_scale
+        out_length = int((F - 1) * fp_s * self.fs) + 1
+        mp = _syn.default_max_pulses(out_length, self.fs,
+                                     f0_ceil=self.f0_ceil * pitch_scale)
+        if key is None:
+            key = jax.random.PRNGKey(0)
+        noise = _syn.make_noise(key, mp, self.fft_size, dtype)[None]
+        y, f0 = _B.batch_wav_to_wav(
+            jnp.asarray(x, dtype)[None], noise, geo=hk.geo, fs=self.fs,
+            fft_size=self.fft_size, max_half_window=ck.max_half_window,
+            frame_period_s=fp_s, out_length=out_length, max_pulses=mp,
+            mesh=None, pitch_scale=pitch_scale)
+        return np.asarray(y[0]), np.asarray(f0[0])

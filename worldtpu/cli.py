@@ -102,6 +102,45 @@ def _synthesize(f0, spec, ap, fs, fft_size, frame_period, dtype, seed=0):
     return np.asarray(y)
 
 
+def _run_fused(args, x, fs, profile_region):
+    """--fused: the whole workflow as one device program (api.World)."""
+    from worldtpu import api
+    from worldtpu.io import params, wav
+
+    world = api.World(fs, frame_period=args.frame_period,
+                      f0_floor=args.f0_floor)
+    t0 = time.time()
+    with profile_region():
+        if args.command == "analyze" or args.formant_scale != 1.0:
+            tpos, f0, spec, ap = world.analyze(
+                x, pitch_scale=args.f0_scale)
+            if args.command == "analyze":
+                print(f"\nfused analyze:\t{(time.time()-t0)*1000:.3f} [msec]")
+                params.write_f0(args.output + ".f0", f0, args.frame_period)
+                params.write_spectral_envelope(
+                    args.output + ".spec", spec, fs, args.frame_period,
+                    world.fft_size)
+                params.write_aperiodicity(
+                    args.output + ".ap", ap, fs, args.frame_period,
+                    world.fft_size)
+                print(f"wrote {args.output}.{{f0,spec,ap}}")
+                return 0
+            # formant warp needs the spectra on host: warp then synthesize
+            f0, spec = _modify(f0, spec, fs, world.fft_size, 1.0,
+                               args.formant_scale)
+            y = _synthesize(f0, spec, ap, fs, world.fft_size,
+                            args.frame_period, None, args.seed)
+        else:
+            y, f0 = world.copy_synthesis(
+                x, pitch_scale=args.f0_scale, key=None)
+    print(f"\nfused copy-syn:\t{(time.time()-t0)*1000:.3f} [msec]")
+    if args.profile:
+        print(f"wrote jax.profiler trace to {args.profile}")
+    wav.wavwrite(args.output, y, fs)
+    print(f"wrote {args.output}")
+    return 0
+
+
 def main(argv=None):
     p = argparse.ArgumentParser(prog="worldtpu")
     p.add_argument("command", choices=["analyze", "synthesize", "copy-syn"])
@@ -120,6 +159,12 @@ def main(argv=None):
     p.add_argument("--metrics-json", default=None,
                    help="write per-stage structured metrics (wall_s, rtf, "
                         "frames) as one JSON document to this path")
+    p.add_argument("--fused", action="store_true",
+                   help="run analysis (and copy-syn resynthesis) as ONE "
+                        "fused device program (api.World) instead of "
+                        "per-stage calls — the fast path on TPU, where "
+                        "each stage call pays a dispatch round trip; "
+                        "implies --f32, prints one combined timing")
     p.add_argument("--profile", default=None, metavar="DIR",
                    help="capture a jax.profiler device trace of the "
                         "compute region into DIR (view with TensorBoard "
@@ -159,6 +204,8 @@ def main(argv=None):
         print(f"Sampling : {fs} [Hz] {nbit} [Bit]")
         print(f"Length {len(x)} [sample]")
         print(f"Length {len(x) / fs} [sec]")
+        if args.fused:
+            return _run_fused(args, x, fs, profile_region)
         with profile_region():
             tpos, f0, spec, ap, fft_size = _analyze(
                 x, fs, args.frame_period, args.f0_floor, dtype)

@@ -269,6 +269,47 @@ def batch_wav_to_wav(x, noise, *, geo, fs, fft_size, max_half_window,
 
 
 @functools.partial(
+    jax.jit,
+    static_argnames=("geo", "fs", "fft_size", "max_half_window", "mesh",
+                     "chunk"))
+def batch_analyze(x, *, geo, fs, fft_size, max_half_window, mesh=None,
+                  chunk=32, pitch_scale=1.0):
+    """Fused one-dispatch analysis: [B, T] wavs -> (f0 [B, F], spec
+    [B, F, K], ap [B, F, K]) — Harvest (with on-device contour fixing) +
+    CheapTrick + D4C as ONE program, so a single utterance pays one
+    dispatch + one download instead of per-stage round trips (the
+    reference demo's four-stage workflow, /root/reference/test/test.cpp:
+    288-384, where each stage is a separate call)."""
+    from worldtpu.analysis import harvest as _h
+
+    n_grid = 1 + int(1000.0 * geo.x_length / geo.fs / geo.frame_period)
+    if mesh is None:
+        mean = jnp.zeros((x.shape[0],), x.dtype)
+        f0 = _h.harvest_device_full_batch(x, mean, geo, n_grid, chunk)
+    else:
+        f0 = batch_harvest_f0(x, geo=geo, n_out=n_grid, mesh=mesh,
+                              chunk=chunk)
+    f0 = (f0 * pitch_scale).astype(x.dtype)
+    tpos = jnp.arange(n_grid, dtype=x.dtype) * (geo.frame_period / 1000.0)
+    if mesh is None:
+        spec, ap = jax.vmap(
+            lambda xi, fi: _analysis_one(
+                xi, fi, tpos, fs, fft_size, max_half_window))(x, f0)
+    else:
+        def local_analysis(x_l, f0_l, tpos_l):
+            return jax.vmap(
+                lambda xi, fi: _analysis_one(
+                    xi, fi, tpos_l, fs, fft_size, max_half_window))(
+                        x_l, f0_l)
+        spec, ap = jax.shard_map(
+            local_analysis, mesh=mesh,
+            in_specs=(P("data", None), P("data", None), P(None)),
+            out_specs=(P("data", None, None), P("data", None, None)))(
+                x, f0, tpos)
+    return f0, spec, ap
+
+
+@functools.partial(
     jax.jit, static_argnames=("geo", "n_out", "chunk", "use_zc", "mesh"))
 def batch_harvest_f0(x, *, geo, n_out, mesh, chunk=32, use_zc=None):
     """Full sharded Harvest wav -> frame-period F0 [B, n_out]: the device

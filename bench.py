@@ -168,6 +168,12 @@ def best_wall(fn, reps=REPS):
 
 def main():
     import jax
+    if os.environ.get("WORLDTPU_BENCH_PLATFORM"):
+        # validation runs (e.g. the corpus path on CPU); the axon plugin
+        # force-sets jax_platforms at import, so env JAX_PLATFORMS alone
+        # is not enough
+        jax.config.update("jax_platforms",
+                          os.environ["WORLDTPU_BENCH_PLATFORM"])
     import jax.numpy as jnp
     from worldtpu import codec
     from worldtpu.analysis.cheaptrick import CheapTrickKernel, cheaptrick_frames

@@ -138,7 +138,6 @@ def _extend_both(ch, ss, st, ed, n_sec, candidates, scores,
     F = candidates.shape[0]
     CK = _EXTEND_CHUNK
     s_pad = -(-s_max // CK) * CK
-    dt = ch.dtype
     ch = jnp.pad(ch, ((0, s_pad - s_max), (0, 0)))
     ss = jnp.pad(ss, ((0, s_pad - s_max), (0, 0)))
     st = jnp.pad(st, (0, s_pad - s_max), constant_values=F - 2)
@@ -167,8 +166,6 @@ def _extend_both(ch, ss, st, ed, n_sec, candidates, scores,
                                  jnp.maximum(1, st_c - 100)])
         distance = jnp.abs(limit - origin)
         live2 = jnp.concatenate([live, live])
-        row2 = jnp.concatenate([rk, rk])                    # [2CK]
-        is_fwd = jnp.arange(2 * CK) < CK
         tmp0 = jnp.concatenate([ch_s, ch_s])[
             jnp.arange(2 * CK), jnp.clip(origin, 0, F - 1)]
 

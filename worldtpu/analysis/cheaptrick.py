@@ -21,7 +21,7 @@ import jax
 import jax.numpy as jnp
 
 from worldtpu import constants as C
-from worldtpu.ops import filters
+from worldtpu.ops import filters, trig
 from worldtpu.ops.fftutil import fft_size_for_cheaptrick, f0_floor_for_cheaptrick
 
 
@@ -81,8 +81,14 @@ def cheaptrick_frames(x, f0, temporal_positions, *, fs, fft_size,
             lambda s: jax.lax.dynamic_slice(xpad, (s,), (W,)))(
                 jnp.clip(origin, 0, x.shape[0] - 1))
 
-    position = offs.astype(dt)[None, :] / 1.5 / fs
-    win = 0.5 * jnp.cos(C.PI * position * cf0[:, None]) + 0.5
+    if dt != jnp.float64:
+        # seed-and-rotate Hanning (ops/trig.py): f32-round-off exact with
+        # ~15x fewer transcendentals; the f64 parity path stays literal
+        alpha = (C.PI / 1.5 / fs) * cf0
+        win = 0.5 * trig.cos_affine(alpha, -alpha * max_half_window, W) + 0.5
+    else:
+        position = offs.astype(dt)[None, :] / 1.5 / fs
+        win = 0.5 * jnp.cos(C.PI * position * cf0[:, None]) + 0.5
     win = jnp.where(in_win, win, 0.0)
     win = win / jnp.sqrt(jnp.sum(win * win, -1, keepdims=True))
 
@@ -123,8 +129,17 @@ def cheaptrick_frames(x, f0, temporal_positions, *, fs, fft_size,
     i = jnp.arange(K, dtype=dt)
     quef = i / fs
     pfq = C.PI * cf0[:, None] * quef[None, :]
-    smoothing = jnp.where(i[None, :] == 0, 1.0, jnp.sin(pfq) / pfq)
-    compensation = (1.0 - 2.0 * q1) + 2.0 * q1 * jnp.cos(2.0 * pfq)
+    if dt != jnp.float64:
+        # sin via the cos seed shifted -pi/2; cos(2x) = 1 - 2 sin(x)^2
+        alpha_q = C.PI * cf0 / fs
+        sin_pf = trig.cos_affine(alpha_q, jnp.full_like(alpha_q,
+                                                        -0.5 * C.PI), K)
+        smoothing = jnp.where(i[None, :] == 0, 1.0, sin_pf / pfq)
+        cos2 = 1.0 - 2.0 * sin_pf * sin_pf
+    else:
+        smoothing = jnp.where(i[None, :] == 0, 1.0, jnp.sin(pfq) / pfq)
+        cos2 = jnp.cos(2.0 * pfq)
+    compensation = (1.0 - 2.0 * q1) + 2.0 * q1 * cos2
     lifter = smoothing * compensation
 
     logp = jnp.log(power)

@@ -20,7 +20,7 @@ import jax
 import jax.numpy as jnp
 
 from worldtpu import constants as C
-from worldtpu.ops import filters
+from worldtpu.ops import filters, trig
 from worldtpu.ops.interp import interp1
 
 
@@ -135,12 +135,27 @@ def _windowed_waveform(x, f0, position, fs, window_type, ratio, max_half,
                            frame_seg.shape[1] - 1)
             seg = jnp.take_along_axis(frame_seg, idx, axis=1)
 
-    pos = (2.0 / ratio / fs) * base.astype(dtype)
-    pf = C.PI * f0[:, None] * pos
-    if window_type == C.HANNING:
-        win = 0.5 * jnp.cos(pf) + 0.5
-    else:  # Blackman
-        win = 0.42 + 0.5 * jnp.cos(pf) + 0.08 * jnp.cos(2.0 * pf)
+    if dtype != jnp.float64:
+        # seed-and-rotate window evaluation (ops/trig.py): ~15x fewer
+        # transcendentals than the literal [F, W] cos grid, f32-round-off
+        # exact; the f64 parity path keeps the literal forms bitwise
+        alpha = (C.PI * 2.0 / ratio / fs) * f0
+        if centered:
+            beta = -alpha * max_half
+        else:
+            beta = -alpha * half.astype(dtype)
+        if window_type == C.HANNING:
+            win = 0.5 * trig.cos_affine(alpha, beta, W) + 0.5
+        else:
+            c1, c2 = trig.cos_affine(alpha, beta, W, second=True)
+            win = 0.42 + 0.5 * c1 + 0.08 * c2
+    else:
+        pos = (2.0 / ratio / fs) * base.astype(dtype)
+        pf = C.PI * f0[:, None] * pos
+        if window_type == C.HANNING:
+            win = 0.5 * jnp.cos(pf) + 0.5
+        else:  # Blackman
+            win = 0.42 + 0.5 * jnp.cos(pf) + 0.08 * jnp.cos(2.0 * pf)
     win = jnp.where(in_win, win, 0.0)
 
     raw = seg * win
@@ -264,9 +279,12 @@ def d4c_frames(x, f0, temporal_positions, *, fs, fft_size_out, threshold=0.85,
         i_c = jnp.arange(Wc, dtype=jnp.int32)[None, :]
         m = i_c - (max_half_c + pad_c) - d_f[:, None]         # base_index
         in_w = jnp.abs(m) <= half_c[:, None]
-        posw = (2.0 / 4.0 / fs) * m.astype(dt)
-        pf = C.PI * f0d[:, None] * posw
-        win = 0.42 + 0.5 * jnp.cos(pf) + 0.08 * jnp.cos(2.0 * pf)
+        # seed-and-rotate Blackman (ops/trig.py, f32-exact; this path is
+        # production-only — the dither/parity path uses centroid())
+        alpha = (C.PI * 2.0 / 4.0 / fs) * f0d
+        beta = -alpha * (max_half_c + pad_c + d_f).astype(dt)
+        cw1, cw2 = trig.cos_affine(alpha, beta, Wc, second=True)
+        win = 0.42 + 0.5 * cw1 + 0.08 * cw2
         win = jnp.where(in_w, win, 0.0)
         wave = jnp.where(in_w, fseg_c * win, 0.0)
         weight = (jnp.sum(wave, -1, keepdims=True)

@@ -141,3 +141,26 @@ def test_refine_kernel_matches_jnp_path(fs, f0b):
     if len(a) == len(b) and len(a) > 0:
         np.testing.assert_allclose(
             np.sort(s1[f][r1[f] > 0]), np.sort(s0[f][r0[f] > 0]), rtol=0.2)
+
+
+@pytest.mark.parametrize("knob", [dict(gp=2), dict(gf=4)])
+def test_refine_kernel_fused_groups_bitwise(knob):
+    """gp=2 fuses two independent group chains per loop iteration; the
+    per-group math is untouched, so results are BITWISE equal to gp=1."""
+    from worldtpu.analysis import harvest as H
+    from worldtpu.ops.refine_kernel import refine_stage_pallas
+
+    fs, f0b = 16000, 180.0
+    x = _vowel(fs, 0.4, f0b, 1)
+    geo = H.HarvestGeometry(fs, len(x))
+    y = H.decimate_stage(jnp.asarray(x), ratio=geo.ratio,
+                         y_length=geo.y_length)
+    ym = y - jnp.mean(y)
+    tpos = jnp.arange(geo.f0_length, dtype=jnp.float32) / 1000.0
+    cand, _, _ = H.candidates_stage(y, jnp.mean(y), tpos, geo=geo,
+                                    use_zc=False)
+    r0, s0 = refine_stage_pallas(ym, cand, tpos, geo=geo, interpret=True)
+    r1, s1 = refine_stage_pallas(ym, cand, tpos, geo=geo, interpret=True,
+                                 **knob)
+    np.testing.assert_array_equal(np.asarray(r0), np.asarray(r1))
+    np.testing.assert_array_equal(np.asarray(s0), np.asarray(s1))

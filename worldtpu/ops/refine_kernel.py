@@ -48,7 +48,7 @@ def _matlab_round(x):
 
 def _refine_frame_kernel(f0_ref, seg_ref, out_ref, *,
                          hwmax, n_fft, max_fft_index, fs_a, f0_dummy,
-                         delta_row, gf, pairs=8):
+                         delta_row, gf, pairs=8, gp=1):
     f32 = jnp.float32
     P = pairs
     out_ref[...] = jnp.zeros_like(out_ref)
@@ -64,9 +64,21 @@ def _refine_frame_kernel(f0_ref, seg_ref, out_ref, *,
             seg_ref[fi, delta_row:delta_row + 1, :], (P, 128))
         nact = jnp.sum((f0_ref[fi] > 0.0).astype(jnp.int32))
         ngroups = (nact + P - 1) // P
-        jax.lax.fori_loop(
-            0, ngroups,
-            lambda g, c: group(fi, deltav, nact, g, c), jnp.int32(0))
+        if gp == 1:
+            jax.lax.fori_loop(
+                0, ngroups,
+                lambda g, c: group(fi, deltav, nact, g, c), jnp.int32(0))
+        else:
+            # gp independent group chains fused per iteration: padded
+            # group slots (g >= ngroups) compute over all-inactive pairs
+            # (active mask False -> zero accumulators) and store zeros to
+            # their untouched out rows — harmless, no predication needed
+            def fused(g2, c):
+                for dg in range(gp):
+                    group(fi, deltav, nact, gp * g2 + dg, c)
+                return c
+            jax.lax.fori_loop(0, (ngroups + gp - 1) // gp, fused,
+                              jnp.int32(0))
         return carry_f
 
     def group(fi, deltav, nact, g, carry):
@@ -164,9 +176,9 @@ def _refine_frame_kernel(f0_ref, seg_ref, out_ref, *,
 
 
 @functools.partial(jax.jit, static_argnames=("geo", "interpret", "pairs",
-                                             "dedup_tol", "gf"))
+                                             "dedup_tol", "gf", "gp"))
 def refine_stage_pallas(y, cand, tpos, *, geo, interpret=False, pairs=8,
-                        dedup_tol=0.0, gf=8):
+                        dedup_tol=0.0, gf=8, gp=1):
     """Adaptive refine for the production f32 path.
 
     Drop-in for `harvest.refine_stage` EXCEPT that refined candidates come
@@ -243,7 +255,7 @@ def refine_stage_pallas(y, cand, tpos, *, geo, interpret=False, pairs=8,
         _refine_frame_kernel, hwmax=hwmax, n_fft=n_fft,
         max_fft_index=geo.max_fft_index, fs_a=fs_a,
         f0_dummy=float(geo.f0_ceil), delta_row=delta_row, gf=GF,
-        pairs=pairs)
+        pairs=pairs, gp=gp)
     sums = pl.pallas_call(
         kern,
         grid=(Fp // GF,),

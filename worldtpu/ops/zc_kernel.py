@@ -98,24 +98,19 @@ def make_groups(geo, n_groups=5, stride=1):
 
 def _zc_group_kernel(filt_ref, out_ref, colbuf, cnt_smem, *,
                      y_length, stot, f_pad, e_cap, c_row, win, fs_a,
-                     n_frames_tiles):
-    """One band per grid cell.  filt_ref [1, 128, Stot], out [1, 8, Fpad]
-    (row 0 carries the result; the 8-row middle dim exists only to satisfy
-    Mosaic's (8, 128)-divisible block rule)."""
-    dt = jnp.float32
-    sT = filt_ref[0]                                     # [128, Stot]
+                     n_frames_tiles, rb=1):
+    """``rb`` bands per grid cell.  filt_ref [rb, 128, Stot], out
+    [rb, 8, Fpad] (row 0 of the middle dim carries each band's result; the
+    8-row middle dim exists only to satisfy Mosaic's (8, 128)-divisible
+    block rule).
 
-    # s_{i+1} in lane-major layout: shift down one sublane, last sublane
-    # takes the next column's first sublane
-    top = sT[0:1, :]                                     # [1, Stot]
-    top_next = jnp.concatenate(
-        [top[:, 1:], jnp.zeros((1, 1), dt)], axis=1)
-    snx = jnp.concatenate([sT[1:, :], top_next], axis=0)
-    g = snx - sT                                         # diff signal
-    gtop = g[0:1, :]
-    gtop_next = jnp.concatenate(
-        [gtop[:, 1:], jnp.zeros((1, 1), dt)], axis=1)
-    gnx = jnp.concatenate([g[1:, :], gtop_next], axis=0)
+    The store/advance and sweep-window chains of every (band, event-type)
+    pair are independent serial dependence chains — the kernel is LATENCY-
+    bound on them, so fusing all 4*rb chains into each loop body lets the
+    scheduler overlap them (same pattern that fused the 4 per-type chains;
+    rb > 1 extends it across bands, halving total loop trip counts again)."""
+    dt = jnp.float32
+    nch = 4 * rb                                         # fused chains
 
     sub = jax.lax.broadcasted_iota(jnp.int32, (128, stot), 0)
     lane = jax.lax.broadcasted_iota(jnp.int32, (128, stot), 1)
@@ -125,36 +120,47 @@ def _zc_group_kernel(filt_ref, out_ref, colbuf, cnt_smem, *,
            >= jax.lax.broadcasted_iota(jnp.int32, (128, 128), 1)
            ).astype(dt)                                  # inclusive lower-tri
 
-    colbuf[...] = jnp.full((e_cap, 4), jnp.inf, dt)
+    colbuf[...] = jnp.full((e_cap, nch), jnp.inf, dt)
 
-    types = ((sT, snx, y_length), (-sT, -snx, y_length),
-             (g, gnx, y_length - 1), (-g, -gnx, y_length - 1))
     s8 = _round_up_static(stot, 8)
     chunks = []
-    for t, (sig, signx, n_eff) in enumerate(types):
-        mask = (sig > 0.0) & (signx <= 0.0) & (gi < n_eff - 1)
-        fine = (gi + 1).astype(dt) - sig / (signx - sig)
-        mf = mask.astype(dt)
-        # per-column inclusive rank via MXU
-        lrank = jnp.dot(tri, mf, preferred_element_type=dt,
-                        precision=jax.lax.Precision.HIGHEST) - 1.0
-        # k-loop compaction: chunkT[k, s] = fine of the k-th event in col s
-        rows = []
-        for k in range(c_row):
-            sel = mask & (lrank == float(k))
-            rows.append(jnp.sum(jnp.where(sel, fine, 0.0), axis=0,
-                                keepdims=True))          # [1, Stot]
-        chunkT = jnp.concatenate(rows, axis=0)           # [c_row, Stot]
-        if s8 != stot:
-            chunkT = jnp.concatenate(
-                [chunkT, jnp.zeros((c_row, s8 - stot), dt)], axis=1)
-        chunks.append(chunkT)
+    for r in range(rb):
+        sT = filt_ref[r]                                 # [128, Stot]
+        # s_{i+1} in lane-major layout: shift down one sublane, last
+        # sublane takes the next column's first sublane
+        top = sT[0:1, :]                                 # [1, Stot]
+        top_next = jnp.concatenate(
+            [top[:, 1:], jnp.zeros((1, 1), dt)], axis=1)
+        snx = jnp.concatenate([sT[1:, :], top_next], axis=0)
+        g = snx - sT                                     # diff signal
+        gtop = g[0:1, :]
+        gtop_next = jnp.concatenate(
+            [gtop[:, 1:], jnp.zeros((1, 1), dt)], axis=1)
+        gnx = jnp.concatenate([g[1:, :], gtop_next], axis=0)
+
+        types = ((sT, snx, y_length), (-sT, -snx, y_length),
+                 (g, gnx, y_length - 1), (-g, -gnx, y_length - 1))
+        for t, (sig, signx, n_eff) in enumerate(types):
+            mask = (sig > 0.0) & (signx <= 0.0) & (gi < n_eff - 1)
+            fine = (gi + 1).astype(dt) - sig / (signx - sig)
+            mf = mask.astype(dt)
+            # per-column inclusive rank via MXU
+            lrank = jnp.dot(tri, mf, preferred_element_type=dt,
+                            precision=jax.lax.Precision.HIGHEST) - 1.0
+            # k-loop compaction: chunkT[k, s] = k-th event of every column
+            rows = []
+            for k in range(c_row):
+                sel = mask & (lrank == float(k))
+                rows.append(jnp.sum(jnp.where(sel, fine, 0.0), axis=0,
+                                    keepdims=True))      # [1, Stot]
+            chunkT = jnp.concatenate(rows, axis=0)       # [c_row, Stot]
+            if s8 != stot:
+                chunkT = jnp.concatenate(
+                    [chunkT, jnp.zeros((c_row, s8 - stot), dt)], axis=1)
+            chunks.append(chunkT)
 
     def store_blk(s, carry):
-        # 8 columns per step and ALL FOUR event types per iteration: the
-        # four offset chains are independent, so fusing their loops lets
-        # the scheduler overlap the serially-dependent store/offset chains
-        # (separate per-type fori_loops barrier between them).  Lanes
+        # 8 columns per step and ALL 4*rb chains per iteration.  Lanes
         # 0..7 are STATIC slices, then one 8-lane rotate per tile
         # (Mosaic has no dynamic-lane indexing).
         # NOTE: a prefix-scan + dynamic-roll block compaction (one slab
@@ -163,7 +169,7 @@ def _zc_group_kernel(filt_ref, out_ref, colbuf, cnt_smem, *,
         # per-column overflow clamps the dense chain gets for free.
         offs, tiles = carry
         new_offs = []
-        for t in range(4):
+        for t in range(nch):
             off = offs[t]
             tile = tiles[t]
             for j in range(8):
@@ -184,37 +190,37 @@ def _zc_group_kernel(filt_ref, out_ref, colbuf, cnt_smem, *,
 
     cnts, _ = jax.lax.fori_loop(
         0, s8 // 8, store_blk,
-        (tuple(jnp.int32(0) for _ in range(4)), tuple(chunks)))
-    for t in range(4):
+        (tuple(jnp.int32(0) for _ in range(nch)), tuple(chunks)))
+    for t in range(nch):
         cnt_smem[t] = cnts[t]
 
     # ---- phase 2: locations/intervals + merge-sweep interpolation ----
-    out_ref[...] = jnp.zeros((1, 8, f_pad), dt)
-    usable = ((cnt_smem[0] - 1 > 2) & (cnt_smem[1] - 1 > 2)
-              & (cnt_smem[2] - 1 > 2) & (cnt_smem[3] - 1 > 2))
+    out_ref[...] = jnp.zeros((rb, 8, f_pad), dt)
+    usables = [
+        ((cnt_smem[4 * r] - 1 > 2) & (cnt_smem[4 * r + 1] - 1 > 2)
+         & (cnt_smem[4 * r + 2] - 1 > 2) & (cnt_smem[4 * r + 3] - 1 > 2))
+        for r in range(rb)]
 
     lane128 = jax.lax.broadcasted_iota(jnp.int32, (1, 128), 1)
     wext = win + 8
     subw = jax.lax.broadcasted_iota(jnp.int32, (wext, 1), 0)
 
-    n_locs = [jnp.minimum(cnt_smem[t] - 1, e_cap - 8) for t in range(4)]
-    seg_his = [jnp.maximum(n_locs[t] - 1, 1) for t in range(4)]
+    n_locs = [jnp.minimum(cnt_smem[t] - 1, e_cap - 8) for t in range(nch)]
+    seg_his = [jnp.maximum(n_locs[t] - 1, 1) for t in range(nch)]
 
     def frame_tile(ft, jbs):
-        # ONE window read per type covers both the frame-count compare and
+        # ONE window read per chain covers both the frame-count compare and
         # the interpolation select: nle = jb + count gives d in
         # [jb-1, jb+win-1] (count >= 0, and jb is clamped to n_loc-2 so
         # the seg_hi clip can never push d below jb-1), so a window based
-        # 8 below jb spans every selected row — the old second dmin-based
-        # read was redundant.  ALL FOUR event types run in one loop body:
-        # their window-base chains are independent, so the scheduler
-        # overlaps the serially-dependent read/count/advance chains
-        # (separate per-type loops were ~1.5x slower), and the four
-        # contour contributions land in ONE output write per tile.
+        # 8 below jb spans every selected row — a second dmin-based
+        # read would be redundant.  All 4*rb chains run in one loop body
+        # (separate per-type loops were ~1.5x slower), and each band's
+        # four contributions land in ONE output write per tile.
         fgrid = (128 * ft + lane128).astype(dt)
-        vals_sum = jnp.zeros((1, 128), dt)
+        vals_sums = [jnp.zeros((1, 128), dt) for _ in range(rb)]
         new_jbs = []
-        for t in range(4):
+        for t in range(nch):
             jb = jbs[t]
             jb0 = jnp.clip(jb - 8, 0, e_cap - wext - 8)
             off = jb - jb0                                  # 0 or 8
@@ -245,7 +251,8 @@ def _zc_group_kernel(filt_ref, out_ref, colbuf, cnt_smem, *,
             A = jnp.sum(jnp.where(oh, y0r, 0.0), axis=0, keepdims=True)
             X = jnp.sum(jnp.where(oh, x0s, 0.0), axis=0, keepdims=True)
             B = jnp.sum(jnp.where(oh, slope, 0.0), axis=0, keepdims=True)
-            vals_sum = vals_sum + (A + (fgrid / 1000.0 - X) * B)
+            vals_sums[t // 4] = (vals_sums[t // 4]
+                                 + (A + (fgrid / 1000.0 - X) * B))
             # advance the window base
             adv = jnp.sum(cmp[:, 127:128].astype(jnp.int32),
                           dtype=jnp.int32)
@@ -254,42 +261,50 @@ def _zc_group_kernel(filt_ref, out_ref, colbuf, cnt_smem, *,
             jbn = jnp.minimum((jbn // 8) * 8, e_cap - win - 8)
             new_jbs.append(jnp.maximum(jbn, 0))
         fo = pl.multiple_of(128 * ft, 128)
-        out_ref[0, 0:1, pl.ds(fo, 128)] = vals_sum
+        for r in range(rb):
+            out_ref[r, 0:1, pl.ds(fo, 128)] = vals_sums[r]
         return tuple(new_jbs)
 
     jax.lax.fori_loop(0, n_frames_tiles, frame_tile,
-                      tuple(jnp.int32(0) for _ in range(4)))
+                      tuple(jnp.int32(0) for _ in range(nch)))
 
-    res = out_ref[0, 0:1, :] / 4.0
-    out_ref[0, 0:1, :] = jnp.where(usable, res, 0.0)
+    for r in range(rb):
+        res = out_ref[r, 0:1, :] / 4.0
+        out_ref[r, 0:1, :] = jnp.where(usables[r], res, 0.0)
 
 
 def _zc_group_call(filt_T, *, y_length, stot, f_pad, e_cap, c_row, win,
-                   fs_a, interpret):
+                   fs_a, interpret, rb=2):
     nb = filt_T.shape[0]
+    nbp = _round_up(nb, rb)
+    if nbp != nb:
+        # all-zero pad bands produce zero contours (usable=False) and are
+        # sliced off by the caller
+        filt_T = jnp.pad(filt_T, ((0, nbp - nb), (0, 0), (0, 0)))
     n_tiles = f_pad // 128
     kern = functools.partial(
         _zc_group_kernel, y_length=y_length, stot=stot, f_pad=f_pad,
         e_cap=e_cap, c_row=c_row, win=win, fs_a=fs_a,
-        n_frames_tiles=n_tiles)
-    return pl.pallas_call(
+        n_frames_tiles=n_tiles, rb=rb)
+    out = pl.pallas_call(
         kern,
-        grid=(nb,),
-        in_specs=[pl.BlockSpec((1, 128, stot), lambda i: (i, 0, 0),
+        grid=(nbp // rb,),
+        in_specs=[pl.BlockSpec((rb, 128, stot), lambda i: (i, 0, 0),
                                memory_space=pltpu.VMEM)],
-        out_specs=pl.BlockSpec((1, 8, f_pad), lambda i: (i, 0, 0),
+        out_specs=pl.BlockSpec((rb, 8, f_pad), lambda i: (i, 0, 0),
                                memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((nb, 8, f_pad), jnp.float32),
+        out_shape=jax.ShapeDtypeStruct((nbp, 8, f_pad), jnp.float32),
         scratch_shapes=[
-            pltpu.VMEM((e_cap, 4), jnp.float32),
-            pltpu.SMEM((4,), jnp.int32),
+            pltpu.VMEM((e_cap, 4 * rb), jnp.float32),
+            pltpu.SMEM((4 * rb,), jnp.int32),
         ],
         interpret=interpret,
     )(filt_T)
+    return out[:nb]
 
 
 def band_candidates_pallas(filt, geo, *, bounds=None, groups=None,
-                           interpret=False):
+                           interpret=False, rb=2):
     """Raw candidate contours [nb, F] from band-filtered signals [nb, L].
 
     Drop-in replacement for vmap(_band_candidates) over the filter bank
@@ -315,7 +330,7 @@ def band_candidates_pallas(filt, geo, *, bounds=None, groups=None,
         raw = _zc_group_call(
             filt_T[g.lo:g.hi], y_length=y_len, stot=stot, f_pad=f_pad,
             e_cap=g.e_cap, c_row=g.c_row, win=g.win,
-            fs_a=float(geo.actual_fs), interpret=interpret)
+            fs_a=float(geo.actual_fs), interpret=interpret, rb=rb)
         outs.append(raw[:, 0, :F])
     cand = jnp.concatenate(outs, axis=0)                 # [nb, F] means
 

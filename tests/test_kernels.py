@@ -164,3 +164,47 @@ def test_refine_kernel_fused_groups_bitwise(knob):
                                  **knob)
     np.testing.assert_array_equal(np.asarray(r0), np.asarray(r1))
     np.testing.assert_array_equal(np.asarray(s0), np.asarray(s1))
+
+
+@pytest.mark.parametrize("fs,f0b", [(16000, 180.0), (22050, 120.0)])
+def test_zc_xla_sweep_matches_kernel_sweep(fs, f0b):
+    """sweep='xla' (phase-1-only kernel + dense XLA merge-sweep with
+    precomputed tile bases) vs the full in-kernel path.  The interp
+    formulas are identical and every one-hot sum selects the same row; the
+    residual difference is the 4-type accumulation order (sequential adds
+    in the kernel vs XLA's tree sum) — pure f32 rounding, <0.01 Hz on
+    40-800 Hz candidates."""
+    from worldtpu.analysis import harvest as H
+    from worldtpu.ops import zc_kernel as Z
+
+    x = _vowel(fs, 0.5, f0b, 3)
+    geo = H.HarvestGeometry(fs, len(x))
+    dt = jnp.float32
+    y = H.decimate_stage(jnp.asarray(x, dt), ratio=geo.ratio,
+                         y_length=geo.y_length)
+    Lmax = geo.max_filter_half
+    kern = H._bandpass_kernels(geo, dt)
+    ypad = jnp.pad(y, (Lmax - 1, Lmax + 1))
+    filt = jax.lax.conv_general_dilated(
+        ypad[None, None, :], kern[:, None, :],
+        window_strides=(1,), padding="VALID",
+        dimension_numbers=("NCW", "OIW", "NCW"),
+        precision=jax.lax.Precision.HIGHEST)[0]
+    a = np.asarray(Z.band_candidates_pallas(filt, geo, interpret=True))
+    b = np.asarray(Z.band_candidates_pallas(filt, geo, interpret=True,
+                                            sweep="xla"))
+    np.testing.assert_array_equal(a > 0, b > 0)
+    np.testing.assert_allclose(b, a, atol=0.01, rtol=1e-5)
+
+
+def test_zc_xla_sweep_silence():
+    from worldtpu.analysis import harvest as H
+    from worldtpu.ops import zc_kernel as Z
+
+    fs = 16000
+    geo = H.HarvestGeometry(fs, 4000)
+    filt = jnp.zeros((geo.n_channels, geo.y_length), jnp.float32)
+    raw = np.asarray(Z.band_candidates_pallas(filt, geo, interpret=True,
+                                              sweep="xla"))
+    assert raw.shape == (geo.n_channels, geo.f0_length)
+    assert np.all(raw == 0.0)

@@ -113,3 +113,46 @@ def test_long_pipeline_duration_and_pitch():
     assert len(y) == int((F - 1) * 0.005 * 1.25 * fs) + 1
     assert np.isfinite(y).all()
     assert np.abs(y).max() > 0.01
+
+
+def _rel_rms(a, b):
+    d = a.astype(np.float64) - b.astype(np.float64)
+    rms = float(np.sqrt((b.astype(np.float64) ** 2).mean()))
+    return float(np.sqrt((d ** 2).mean())) / rms
+
+
+def test_long_pipeline_parallel_matches_sequential():
+    """parallel=True (prescan + one lax.map dispatch) vs the sequential
+    carried-phase path.  Entry states (carry, ord0) are identical by
+    construction (the prescan reuses _timebase_core), but XLA fuses the
+    chunk program differently inside lax.map, so f32 reassociation can
+    flip a knife-edge pulse boundary by one sample — the same class of
+    residual as the chunked-vs-unchunked tolerance in this module's
+    docstring."""
+    fs = 16000
+    x = _long_utterance(fs, min(DUR, 20.0))
+    key = jax.random.PRNGKey(7)
+    lp = LongPipeline(fs, f0_floor=40.0, chunk_frames=700,
+                      harvest_chunk_ms=9000)
+    ys, f0s = lp.copy_synthesis(x, key=key)
+    yp, f0p = lp.copy_synthesis(x, key=key, parallel=True)
+    np.testing.assert_array_equal(f0s, f0p)
+    assert _rel_rms(yp, ys) < 0.01
+
+
+def test_long_pipeline_mesh_sharded_chunks():
+    """Chunk axis sharded over a virtual device mesh == sequential (same
+    f32-reassociation tolerance as the lax.map path)."""
+    if jax.device_count() < 2:
+        pytest.skip("needs a multi-device (virtual CPU) mesh")
+    from jax.sharding import Mesh
+    nd = jax.device_count()
+    fs = 16000
+    x = _long_utterance(fs, min(DUR, 20.0))
+    key = jax.random.PRNGKey(7)
+    lp = LongPipeline(fs, f0_floor=40.0, chunk_frames=700,
+                      harvest_chunk_ms=9000)
+    ys, _ = lp.copy_synthesis(x, key=key)
+    mesh = Mesh(np.asarray(jax.devices()).reshape(nd), ("chunks",))
+    ym, _ = lp.copy_synthesis(x, key=key, mesh=mesh)
+    assert _rel_rms(ym, ys) < 0.01

@@ -443,7 +443,8 @@ def candidates_stage(y, mean_y, tpos, *, geo, use_zc=None):
         if use_zc:
             from worldtpu.ops import zc_kernel
             raw = zc_kernel.band_candidates_pallas(
-                filt, geo, interpret=(use_zc == "interpret"))
+                filt, geo, interpret=(use_zc == "interpret"),
+                sweep=ZC_SWEEP)
         else:
             bounds = jnp.asarray(geo.boundary_f0, dt)
             raw = jax.vmap(
@@ -688,6 +689,13 @@ def _use_refine_kernel_default():
 #: (see refine_kernel.refine_stage_pallas dedup rationale); 0 disables.
 REFINE_DEDUP_TOL = 0.004
 
+#: Pallas refine fused-group-chain count (refine_stage_pallas gp).
+REFINE_GP = 1
+
+#: zc merge-sweep location: "kernel" (in-kernel carried-window sweep) or
+#: "xla" (phase-1-only kernel + dense XLA sweep, zc_kernel._sweep_xla).
+ZC_SWEEP = "kernel"
+
 
 @functools.partial(jax.jit, static_argnames=("geo", "chunk", "use_refine"))
 def harvest_device_stages(x, mean_y, *, geo, chunk=64, use_refine=None):
@@ -706,7 +714,7 @@ def harvest_device_stages(x, mean_y, *, geo, chunk=64, use_refine=None):
         cand, score = refine_stage_pallas(
             y - mean_y, cand, tpos1, geo=geo,
             interpret=(use_refine == "interpret"),
-            dedup_tol=REFINE_DEDUP_TOL)
+            dedup_tol=REFINE_DEDUP_TOL, gp=REFINE_GP)
     else:
         cand, score = refine_stage(y - mean_y, cand, tpos1, geo=geo,
                                    chunk=chunk)

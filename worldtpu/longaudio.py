@@ -55,6 +55,79 @@ def analysis_halo_samples(fs, f0_floor):
     return max(ct, d4c_max_half_c(fs), d4c_max_half_lt(fs)) + 8
 
 
+def _timebase_core(f0_blk, o0, flo, carry, *, dt, fs, fft_size, fp_s, L,
+                   slack, Fb, Pmax, out_length):
+    """Q32 pulse detection for one chunk (reference :180-288 with carried
+    phase).  Returns everything both the prescan and the synthesis need."""
+    lowest_f0 = fs / fft_size + 1.0
+    cf0 = jnp.where(f0_blk < lowest_f0, 0.0, f0_blk)
+    cvuv = jnp.where(cf0 == 0.0, 0.0, 1.0)
+    # appended extrapolation knot (reference :240-242); only queried when
+    # the block's last frame is the utterance's last
+    cf0 = jnp.concatenate([cf0, (cf0[-1] * 2 - cf0[-2])[None]])
+    cvuv = jnp.concatenate([cvuv, (cvuv[-1] * 2 - cvuv[-2])[None]])
+    coarse_t = jnp.arange(Fb + 1, dtype=dt) * fp_s
+
+    s = jnp.arange(L + slack)
+    t_loc = (o0 + s).astype(dt) / fs - flo.astype(dt) * fp_s
+    f0i = interp1(coarse_t, cf0, t_loc)
+    vuvi = interp1(coarse_t, cvuv, t_loc)
+    vuvi = jnp.where(vuvi > 0.5, 1.0, 0.0)
+    f0i = jnp.where(vuvi == 0.0, C.DEFAULT_F0, f0i)
+
+    step = (f0i / fs * 4294967296.0 + 0.5).astype(jnp.uint32)
+    cum = carry.astype(jnp.int32) + jnp.cumsum(step.astype(jnp.int32))
+    fbits = jax.lax.bitcast_convert_type(cum, jnp.uint32)
+    carry_out = fbits[L - 1]
+    wrap = fbits[1:] < fbits[:-1]
+    # comparisons beyond the true output end do not exist (unchunked
+    # semantics: the global last pulse's noise_size is 0 via the min rule)
+    glob = o0 + s[:-1]
+    wrap = wrap & (glob + 1 <= out_length - 1)
+
+    idx = jnp.nonzero(wrap, size=Pmax,
+                      fill_value=L + slack - 1)[0].astype(jnp.int32)
+    n_det = jnp.minimum(jnp.sum(wrap).astype(jnp.int32), Pmax)
+    det_valid = jnp.arange(Pmax) < n_det
+    own = det_valid & (idx < jnp.minimum(L, out_length - o0))
+    n_own = jnp.sum(own).astype(jnp.int32)
+    overflowed = (jnp.sum(wrap) > Pmax) | (
+        n_own == Pmax)  # lookahead pulse must also fit
+    return dict(f0i=f0i, vuvi=vuvi, fbits=fbits, carry_out=carry_out,
+                idx=idx, n_det=n_det, own=own, n_own=n_own,
+                overflowed=overflowed)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("fs", "fft_size", "fp_s", "L", "slack", "Fb", "Pmax",
+                     "out_length", "n_chunks"))
+def _phase_prescan(f0_full, *, fs, fft_size, fp_s, L, slack, Fb, Pmax,
+                   out_length, n_chunks):
+    """Sequential-in-one-dispatch scan producing each chunk's entry state
+    (Q32 carry, global pulse ordinal) plus the overflow flags — the cheap
+    pass that makes the expensive chunks independent."""
+    dt = f0_full.dtype
+
+    def step(st, k):
+        carry, ordn = st
+        o0 = k * L
+        F_pad = f0_full.shape[0]
+        flo = jnp.clip((o0 / (fs * fp_s)).astype(jnp.int32) - 2, 0,
+                       F_pad - Fb)
+        f0_blk = jax.lax.dynamic_slice(f0_full, (flo,), (Fb,))
+        tb = _timebase_core(f0_blk, o0, flo, carry, dt=dt, fs=fs,
+                            fft_size=fft_size, fp_s=fp_s, L=L, slack=slack,
+                            Fb=Fb, Pmax=Pmax, out_length=out_length)
+        return ((tb["carry_out"], ordn + tb["n_own"]),
+                (carry, ordn, tb["overflowed"]))
+
+    (_, _), (carries, ords, ovf) = jax.lax.scan(
+        step, (jnp.zeros((), jnp.uint32), jnp.zeros((), jnp.int32)),
+        jnp.arange(n_chunks, dtype=jnp.int32))
+    return carries, ords, ovf
+
+
 @functools.partial(
     jax.jit,
     static_argnames=("fs", "fft_size", "max_half_window", "fp_a", "fp_s",
@@ -109,40 +182,14 @@ def _chunk_step(x_pad, f0_full, k, carry, ord0, key, *, fs, fft_size,
     ap = d4c_frames(x_blk, f0_blk, tpos_blk, fs=fs, fft_size_out=fft_size)
 
     # ---- chunked time base (reference :180-288 with carried phase) ----
-    lowest_f0 = fs / fft_size + 1.0
-    cf0 = jnp.where(f0_blk < lowest_f0, 0.0, f0_blk)
-    cvuv = jnp.where(cf0 == 0.0, 0.0, 1.0)
-    # appended extrapolation knot (reference :240-242); only queried when
-    # the block's last frame is the utterance's last
-    cf0 = jnp.concatenate([cf0, (cf0[-1] * 2 - cf0[-2])[None]])
-    cvuv = jnp.concatenate([cvuv, (cvuv[-1] * 2 - cvuv[-2])[None]])
-    coarse_t = jnp.arange(Fb + 1, dtype=dt) * fp_s
-
-    s = jnp.arange(L + slack)
-    t_loc = (o0 + s).astype(dt) / fs - flo.astype(dt) * fp_s
-    f0i = interp1(coarse_t, cf0, t_loc)
-    vuvi = interp1(coarse_t, cvuv, t_loc)
-    vuvi = jnp.where(vuvi > 0.5, 1.0, 0.0)
-    f0i = jnp.where(vuvi == 0.0, C.DEFAULT_F0, f0i)
-
-    step = (f0i / fs * 4294967296.0 + 0.5).astype(jnp.uint32)
-    cum = carry.astype(jnp.int32) + jnp.cumsum(step.astype(jnp.int32))
-    fbits = jax.lax.bitcast_convert_type(cum, jnp.uint32)
-    carry_out = fbits[L - 1]
-    wrap = fbits[1:] < fbits[:-1]
-    # comparisons beyond the true output end do not exist (unchunked
-    # semantics: the global last pulse's noise_size is 0 via the min rule)
-    glob = o0 + s[:-1]
-    wrap = wrap & (glob + 1 <= out_length - 1)
-
-    idx = jnp.nonzero(wrap, size=Pmax,
-                      fill_value=L + slack - 1)[0].astype(jnp.int32)
-    n_det = jnp.minimum(jnp.sum(wrap).astype(jnp.int32), Pmax)
-    det_valid = jnp.arange(Pmax) < n_det
-    own = det_valid & (idx < jnp.minimum(L, out_length - o0))
-    n_own = jnp.sum(own).astype(jnp.int32)
-    overflowed = (jnp.sum(wrap) > Pmax) | (
-        n_own == Pmax)  # lookahead pulse must also fit
+    tb = _timebase_core(f0_blk, o0, flo, carry, dt=dt, fs=fs,
+                        fft_size=fft_size, fp_s=fp_s, L=L, slack=slack,
+                        Fb=Fb, Pmax=Pmax, out_length=out_length)
+    fbits, idx, n_det = tb["fbits"], tb["idx"], tb["n_det"]
+    own, n_own = tb["own"], tb["n_own"]
+    vuvi = tb["vuvi"]
+    carry_out = tb["carry_out"]
+    overflowed = tb["overflowed"]
 
     frac = fbits.astype(dt) / 4294967296.0
     f_lo = jnp.take(frac, idx)
@@ -178,6 +225,29 @@ def _chunk_step(x_pad, f0_full, k, carry, ord0, key, *, fs, fft_size,
     return buf, carry_out, ord0 + n_own, overflowed
 
 
+@functools.partial(
+    jax.jit,
+    static_argnames=("fs", "fft_size", "max_half_window", "fp_a", "fp_s",
+                     "L", "slack", "Fb", "Pmax", "A", "halo", "out_length"))
+def _chunks_map(x_pad, f0_full, ks, carries, ords, key, *, fs, fft_size,
+                max_half_window, fp_a, fp_s, L, slack, Fb, Pmax, A, halo,
+                out_length):
+    """All chunks in ONE dispatch: lax.map keeps device memory at one
+    chunk's intermediates while the output is the [n, L+fft] buffer stack.
+    Entry states come from _phase_prescan, so chunks are independent."""
+
+    def one(args):
+        k, carry, ordn = args
+        buf, _, _, ovf = _chunk_step(
+            x_pad, f0_full, k, carry, ordn, key, fs=fs, fft_size=fft_size,
+            max_half_window=max_half_window, fp_a=fp_a, fp_s=fp_s, L=L,
+            slack=slack, Fb=Fb, Pmax=Pmax, A=A, halo=halo,
+            out_length=out_length)
+        return buf, ovf
+
+    return jax.lax.map(one, (ks, carries, ords))
+
+
 class LongPipeline:
     """Streaming copy-synthesis for arbitrarily long utterances.
 
@@ -211,14 +281,26 @@ class LongPipeline:
 
     def copy_synthesis(self, x, *, key=None, pitch_scale=1.0,
                        duration_scale=1.0, dtype=jnp.float32,
-                       on_overflow="raise"):
+                       on_overflow="raise", parallel=False, mesh=None):
         """wav -> wav.  Returns (y [out_length], f0 [n_frames]).
 
         ``duration_scale`` stretches the synthesis frame period (the
         streaming analog of bench config 5's manipulation).
         ``on_overflow``: 'raise' or 'warn' when a chunk's pulse bound is
         exceeded (cannot happen for f0 <= 1.2 * DEFAULT_F0 ceilings with
-        the default margin)."""
+        the default margin).
+
+        ``parallel`` / ``mesh``: the Q32 phase and pulse ordinal each
+        chunk starts from are the only sequential state; a cheap device
+        prescan (one lax.scan over the F0 grid, no analysis/synthesis)
+        computes them for every chunk, after which the expensive chunks
+        are INDEPENDENT.  parallel=True runs them as one lax.map dispatch
+        (same memory bound, no per-chunk host round trips); mesh=Mesh
+        additionally shards the chunk axis across devices (shard_map), so
+        a single long utterance scales over a pod slice — the overlap-save
+        halo makes each chunk self-contained (SURVEY §5 long-context row).
+        Results are bitwise-identical to the sequential path by
+        construction (the prescan reuses _timebase_core)."""
         if key is None:
             key = jax.random.PRNGKey(0)
         fs = self.fs
@@ -262,37 +344,76 @@ class LongPipeline:
         Pmax = -(-Pmax // 128) * 128
 
         y = np.zeros(out_length + fft, np.float64)
-        carry = jnp.zeros((), jnp.uint32)
-        ord0 = jnp.zeros((), jnp.int32)
-        pending = None  # (k, device buf) for overlapped download
-        overflow_flags = []
 
-        def land(pend):
-            kk, buf = pend
+        def land(kk, b):
             o0 = kk * L
             lo = o0 - half + 1
-            b = np.asarray(buf, np.float64)
+            b = np.asarray(b, np.float64)
             if lo < 0:
                 b = b[-lo:]
                 lo = 0
             hi = min(lo + len(b), len(y))
             y[lo:hi] += b[:hi - lo]
 
-        for k in range(n_chunks):
-            buf, carry, ord0, ovf = _chunk_step(
-                x_dev, f0_dev, jnp.asarray(k, jnp.int32), carry, ord0,
-                key, fs=fs, fft_size=fft,
-                max_half_window=self.max_half_window, fp_a=fp_a,
-                fp_s=fp_s, L=L, slack=slack, Fb=Fb, Pmax=Pmax, A=A,
-                halo=self.halo, out_length=out_length)
-            buf.copy_to_host_async()
-            overflow_flags.append(ovf)
-            if pending is not None:
-                land(pending)
-            pending = (k, buf)
-        land(pending)
+        statics = dict(fs=fs, fft_size=fft,
+                       max_half_window=self.max_half_window, fp_a=fp_a,
+                       fp_s=fp_s, L=L, slack=slack, Fb=Fb, Pmax=Pmax, A=A,
+                       halo=self.halo, out_length=out_length)
 
-        if bool(jnp.any(jnp.stack(overflow_flags))):
+        if parallel or mesh is not None:
+            carries, ords, ovf_scan = _phase_prescan(
+                f0_dev, fs=fs, fft_size=fft, fp_s=fp_s, L=L, slack=slack,
+                Fb=Fb, Pmax=Pmax, out_length=out_length,
+                n_chunks=n_chunks)
+            nmap = n_chunks
+            if mesh is not None:
+                nd = int(np.prod(mesh.devices.shape))
+                nmap = -(-n_chunks // nd) * nd
+            # pad chunks: k >= n_chunks has every wrap masked out by the
+            # out_length bound (glob+1 <= out_length-1 is False past the
+            # end), so padded chunks synthesize silence
+            ks = jnp.arange(nmap, dtype=jnp.int32)
+            pad = nmap - n_chunks
+            carries = jnp.pad(carries, (0, pad))
+            ords = jnp.pad(ords, (0, pad))
+            if mesh is None:
+                bufs, ovf_map = _chunks_map(x_dev, f0_dev, ks, carries,
+                                            ords, key, **statics)
+            else:
+                from jax.sharding import PartitionSpec as P
+                ax = mesh.axis_names[0]
+                fn = jax.shard_map(
+                    lambda xp, ff, kk, cc, oo: _chunks_map(
+                        xp, ff, kk, cc, oo, key, **statics),
+                    mesh=mesh,
+                    in_specs=(P(), P(), P(ax), P(ax), P(ax)),
+                    out_specs=(P(ax), P(ax)),
+                    check_vma=False)
+                bufs, ovf_map = jax.jit(fn)(x_dev, f0_dev, ks, carries,
+                                            ords)
+            bufs_np = np.asarray(bufs)
+            for k in range(n_chunks):
+                land(k, bufs_np[k])
+            any_ovf = bool(jnp.any(ovf_scan)) or bool(
+                jnp.any(ovf_map[:n_chunks]))
+        else:
+            carry = jnp.zeros((), jnp.uint32)
+            ord0 = jnp.zeros((), jnp.int32)
+            pending = None  # (k, device buf) for overlapped download
+            overflow_flags = []
+            for k in range(n_chunks):
+                buf, carry, ord0, ovf = _chunk_step(
+                    x_dev, f0_dev, jnp.asarray(k, jnp.int32), carry, ord0,
+                    key, **statics)
+                buf.copy_to_host_async()
+                overflow_flags.append(ovf)
+                if pending is not None:
+                    land(*pending)
+                pending = (k, buf)
+            land(*pending)
+            any_ovf = bool(jnp.any(jnp.stack(overflow_flags)))
+
+        if any_ovf:
             msg = ("pulse bound exceeded in a synthesis chunk; rerun with "
                    "a larger chunk margin")
             if on_overflow == "raise":

@@ -48,8 +48,16 @@ def _matlab_round(x):
 
 def _refine_frame_kernel(f0_ref, seg_ref, out_ref, *,
                          hwmax, n_fft, max_fft_index, fs_a, f0_dummy,
-                         delta_row, gf, pairs=8, gp=1):
+                         delta_row, gf, pairs=8, gp=1, fast_trig=True):
     f32 = jnp.float32
+    if fast_trig:
+        # seed angles only need ~1e-6 (the rotation chains drift that much
+        # anyway); the polynomial pair is ~16 VPU ops vs two libm-style
+        # expansions per tile (see ops/kmath.py)
+        from worldtpu.ops.kmath import fast_cossin as _cossin
+    else:
+        def _cossin(x):
+            return jnp.cos(x), jnp.sin(x)
     P = pairs
     out_ref[...] = jnp.zeros_like(out_ref)
     lane = jax.lax.broadcasted_iota(jnp.int32, (P, 128), 1)
@@ -105,8 +113,9 @@ def _refine_frame_kernel(f0_ref, seg_ref, out_ref, *,
         # rotations replaces 6 transcendental arrays per block
         m0 = 128 * jlo + lane                               # [8, 128]
         t2_0 = two_pi * (m0.astype(f32) + deltav) / wlf
-        c0 = jnp.cos(t2_0)
-        s0 = jnp.sin(t2_0)
+        c0, s0 = _cossin(t2_0)
+        # the [8, 1] step angles stay exact (tiny tiles, and the rotation
+        # chains compound any step error over up to 9 blocks)
         d128 = two_pi * 128.0 / wlf                         # [8, 1]
         cd128, sd128 = jnp.cos(d128), jnp.sin(d128)
         d1 = two_pi / wlf
@@ -122,8 +131,9 @@ def _refine_frame_kernel(f0_ref, seg_ref, out_ref, *,
         ch0, sh0, cdh, sdh = [], [], [], []
         for h in range(6):
             a0 = (two_pi / n_fft) * ((gbins[h] * m0) % n_fft).astype(f32)
-            ch0.append(jnp.cos(a0))
-            sh0.append(jnp.sin(a0))
+            ch, sh2 = _cossin(a0)
+            ch0.append(ch)
+            sh0.append(sh2)
             ad = (two_pi / n_fft) * ((gbins[h] * 128) % n_fft).astype(f32)
             cdh.append(jnp.cos(ad))
             sdh.append(jnp.sin(ad))
@@ -176,9 +186,10 @@ def _refine_frame_kernel(f0_ref, seg_ref, out_ref, *,
 
 
 @functools.partial(jax.jit, static_argnames=("geo", "interpret", "pairs",
-                                             "dedup_tol", "gf", "gp"))
+                                             "dedup_tol", "gf", "gp",
+                                             "fast_trig"))
 def refine_stage_pallas(y, cand, tpos, *, geo, interpret=False, pairs=8,
-                        dedup_tol=0.0, gf=8, gp=1):
+                        dedup_tol=0.0, gf=8, gp=1, fast_trig=True):
     """Adaptive refine for the production f32 path.
 
     Drop-in for `harvest.refine_stage` EXCEPT that refined candidates come
@@ -255,7 +266,7 @@ def refine_stage_pallas(y, cand, tpos, *, geo, interpret=False, pairs=8,
         _refine_frame_kernel, hwmax=hwmax, n_fft=n_fft,
         max_fft_index=geo.max_fft_index, fs_a=fs_a,
         f0_dummy=float(geo.f0_ceil), delta_row=delta_row, gf=GF,
-        pairs=pairs, gp=gp)
+        pairs=pairs, gp=gp, fast_trig=fast_trig)
     sums = pl.pallas_call(
         kern,
         grid=(Fp // GF,),

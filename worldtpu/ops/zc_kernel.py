@@ -303,8 +303,210 @@ def _zc_group_call(filt_T, *, y_length, stot, f_pad, e_cap, c_row, win,
     return out[:nb]
 
 
+def _zc_events_kernel(filt_ref, ev_ref, ccol_ref, *,
+                      y_length, stot, e_cap, c_row, rb):
+    """Phase-1-only variant: compacted event buffers + per-column counts,
+    NO in-kernel merge-sweep (that part is throughput work and runs as a
+    dense XLA program in `_sweep_xla`; the kernel keeps only the part XLA
+    cannot express without a scatter-sort — the sequential compaction).
+
+    ev_ref [rb, e_cap, 8]: lanes 0..3 = the four event types' sorted fines
+    (inf-filled); ccol_ref [rb, 8, s_pad]: rows 0..3 = events per
+    128-sample column (the XLA sweep derives totals and tile bases from
+    these)."""
+    dt = jnp.float32
+    sub = jax.lax.broadcasted_iota(jnp.int32, (128, stot), 0)
+    lane = jax.lax.broadcasted_iota(jnp.int32, (128, stot), 1)
+    gi = sub + 128 * lane
+    tri = (jax.lax.broadcasted_iota(jnp.int32, (128, 128), 0)
+           >= jax.lax.broadcasted_iota(jnp.int32, (128, 128), 1)
+           ).astype(dt)
+
+    ev_ref[...] = jnp.full_like(ev_ref, jnp.inf)
+    s8 = _round_up_static(stot, 8)
+    s_pad = ccol_ref.shape[2]
+    chunks = []
+    for r in range(rb):
+        sT = filt_ref[r]
+        top = sT[0:1, :]
+        top_next = jnp.concatenate(
+            [top[:, 1:], jnp.zeros((1, 1), dt)], axis=1)
+        snx = jnp.concatenate([sT[1:, :], top_next], axis=0)
+        g = snx - sT
+        gtop = g[0:1, :]
+        gtop_next = jnp.concatenate(
+            [gtop[:, 1:], jnp.zeros((1, 1), dt)], axis=1)
+        gnx = jnp.concatenate([g[1:, :], gtop_next], axis=0)
+        types = ((sT, snx, y_length), (-sT, -snx, y_length),
+                 (g, gnx, y_length - 1), (-g, -gnx, y_length - 1))
+        for t, (sig, signx, n_eff) in enumerate(types):
+            mask = (sig > 0.0) & (signx <= 0.0) & (gi < n_eff - 1)
+            fine = (gi + 1).astype(dt) - sig / (signx - sig)
+            mf = mask.astype(dt)
+            lrank = jnp.dot(tri, mf, preferred_element_type=dt,
+                            precision=jax.lax.Precision.HIGHEST) - 1.0
+            rows = []
+            for k in range(c_row):
+                sel = mask & (lrank == float(k))
+                rows.append(jnp.sum(jnp.where(sel, fine, 0.0), axis=0,
+                                    keepdims=True))
+            chunkT = jnp.concatenate(rows, axis=0)           # [c_row, stot]
+            ccol = jnp.sum((chunkT > 0.0).astype(dt), axis=0,
+                           keepdims=True)                    # [1, stot]
+            ccol_ref[r, t:t + 1, :] = jnp.concatenate(
+                [ccol, jnp.zeros((1, s_pad - stot), dt)], axis=1)
+            if s8 != stot:
+                chunkT = jnp.concatenate(
+                    [chunkT, jnp.zeros((c_row, s8 - stot), dt)], axis=1)
+            chunks.append(chunkT)
+
+    def store_blk(s, carry):
+        offs, tiles = carry
+        new_offs = []
+        for c in range(4 * rb):
+            off = offs[c]
+            tile = tiles[c]
+            r, t = divmod(c, 4)
+            for j in range(8):
+                col = tile[:, j:j + 1]
+                rc = jnp.sum((col > 0.0).astype(jnp.int32),
+                             dtype=jnp.int32)
+                o = jnp.minimum(off, e_cap - c_row)
+                ev_ref[r, pl.ds(o, c_row), t:t + 1] = jnp.where(
+                    col > 0.0, col, jnp.inf)
+                off = off + rc
+            new_offs.append(off)
+        return (tuple(new_offs),
+                tuple(pltpu.roll(tl, s8 - 8, axis=1) for tl in tiles))
+
+    jax.lax.fori_loop(
+        0, s8 // 8, store_blk,
+        (tuple(jnp.int32(0) for _ in range(4 * rb)), tuple(chunks)))
+
+
+def _zc_events_call(filt_T, *, y_length, stot, e_cap, c_row, interpret,
+                    rb=2):
+    nb = filt_T.shape[0]
+    nbp = _round_up(nb, rb)
+    if nbp != nb:
+        filt_T = jnp.pad(filt_T, ((0, nbp - nb), (0, 0), (0, 0)))
+    s_pad = _round_up(stot, 128)
+    kern = functools.partial(
+        _zc_events_kernel, y_length=y_length, stot=stot, e_cap=e_cap,
+        c_row=c_row, rb=rb)
+    ev, ccol = pl.pallas_call(
+        kern,
+        grid=(nbp // rb,),
+        in_specs=[pl.BlockSpec((rb, 128, stot), lambda i: (i, 0, 0),
+                               memory_space=pltpu.VMEM)],
+        out_specs=[
+            pl.BlockSpec((rb, e_cap, 8), lambda i: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((rb, 8, s_pad), lambda i: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((nbp, e_cap, 8), jnp.float32),
+            jax.ShapeDtypeStruct((nbp, 8, s_pad), jnp.float32),
+        ],
+        interpret=interpret,
+    )(filt_T)
+    return ev[:nb], ccol[:nb]
+
+
+def _sweep_xla(ev, ccol, *, geo, group, f_pad):
+    """Dense-XLA merge-sweep interpolation over compacted event buffers.
+
+    The in-kernel sweep is a latency-bound serial chain (carried window
+    base per frame tile); here the base of EVERY tile is precomputed from
+    the per-column event counts (events in columns strictly before the
+    tile's first frame undercount the true rank by at most c_row + the
+    location/event offset, absorbed by widening the window), after which
+    every (band, type, tile) is an independent dense computation XLA
+    fuses into a few reduction loops.  Formulas are identical to the
+    kernel sweep (3 one-hot masked sums, slope anchored at the selected
+    row's own x0), so values match it to f32 rounding."""
+    dt = jnp.float32
+    nbg = ev.shape[0]
+    e_cap, c_row, win = group.e_cap, group.c_row, group.win
+    fs_a = float(geo.actual_fs)
+    n_tiles = f_pad // 128
+
+    evT = jnp.transpose(ev[:, :, :4], (0, 2, 1))            # [nbg, 4, e_cap]
+    n_ev = jnp.sum(ccol[:, :4, :], axis=2).astype(jnp.int32)  # [nbg, 4]
+    usable = jnp.all(n_ev - 1 > 2, axis=1)                  # [nbg]
+    n_loc = jnp.minimum(n_ev - 1, e_cap - 8)
+    seg_hi = jnp.maximum(n_loc - 1, 1)                      # [nbg, 4]
+
+    # window geometry: forward span per 128-frame tile is bounded by the
+    # group's crossing-rate window `win` (same model as the kernel); the
+    # count base undercounts by <= c_row (partial column) + 9 (margin +
+    # location/event offset), so the window widens by that much
+    wx = _round_up(win + c_row + 24, 8)
+    wc = wx - 2
+
+    # count base cb per tile from column-count prefix sums: events in
+    # columns strictly before the column containing the tile's first
+    # frame time, minus a 9-row margin -> cb <= rank of the first loc the
+    # tile's compare must see (condition A: every rank < cb already
+    # satisfies ffw <= fgrid for the whole tile)
+    colcum = jnp.cumsum(ccol[:, :4, :], axis=2)             # inclusive
+    tile_pos = (np.arange(n_tiles) * 128 - 1).astype(np.float64) \
+        / 1000.0 * fs_a
+    tile_col = np.maximum(np.floor(tile_pos / 128.0).astype(np.int32), 0)
+    before = jnp.take(colcum,
+                      jnp.asarray(np.maximum(tile_col - 1, 0)), axis=2)
+    before = jnp.where(jnp.asarray(tile_col)[None, None, :] > 0,
+                       before, 0.0).astype(jnp.int32)       # [nbg,4,T]
+    cb = jnp.maximum(before - 9, 0)
+    # the interval clip d <= seg_hi - 1 can select below cb at the contour
+    # tail; keep the base under it like the kernel's n_loc-2 clamp
+    cb = jnp.minimum(cb, jnp.maximum(seg_hi - 8, 0)[:, :, None])
+    # slice base sb covers d = cb - 1 (the clip floor) with a 4-row lead
+    sb = jnp.clip(cb - 4, 0, e_cap - wx - 2)
+    off = cb - sb                                           # [nbg,4,T] >= 0
+
+    # gather event windows: one contiguous row slice per (band, type, tile)
+    ev2 = evT.reshape(nbg * 4, e_cap)
+    sb_f = sb.reshape(nbg * 4, n_tiles)
+    off_f = off.reshape(nbg * 4, n_tiles)
+    wins = jax.vmap(lambda row, bs: jax.vmap(
+        lambda b: jax.lax.dynamic_slice(row, (b,), (wx,)))(bs))(
+            ev2, sb_f)                                      # [nbg*4,T,wx]
+
+    locw = (wins[..., :-1] + wins[..., 1:]) / 2.0 / fs_a    # [.,T,wx-1]
+    itvw = fs_a / (wins[..., 1:] - wins[..., :-1])
+    x0r = locw[..., :wc]
+    slope = (itvw[..., 1:wc + 1] - itvw[..., :wc]) \
+        / (locw[..., 1:wc + 1] - locw[..., :wc])
+    slope = jnp.where(jnp.isfinite(slope), slope, 0.0)
+    y0r = jnp.where(jnp.isfinite(itvw[..., :wc]), itvw[..., :wc], 0.0)
+    x0s = jnp.where(jnp.isfinite(x0r), x0r, 0.0)
+    ffw = jnp.ceil(locw[..., :wc] * 1000.0)                 # [.,T,wc]
+
+    rows = jnp.arange(wc, dtype=jnp.int32)
+    # rows below the count base are already inside cb; don't double-count
+    in_cnt = rows[None, None, :] >= off_f[..., None]        # [.,T,wc]
+    fgrid = (jnp.arange(n_tiles * 128, dtype=dt)
+             .reshape(n_tiles, 128))                        # [T, 128]
+    cmp = (in_cnt[..., None]
+           & (ffw[..., :, None] <= fgrid[None, :, None, :]))
+    nle = (sb_f + off_f)[..., None] + jnp.sum(
+        cmp.astype(jnp.int32), axis=2)                      # [.,T,128]
+    sh = seg_hi.reshape(nbg * 4)[:, None, None]
+    d = jnp.clip(nle, 1, sh) - 1
+    oh = (rows[None, None, :, None] + sb_f[..., None, None]) \
+        == d[..., None, :]                                  # [.,T,wc,128]
+    A = jnp.sum(jnp.where(oh, y0r[..., None], 0.0), axis=2)
+    X = jnp.sum(jnp.where(oh, x0s[..., None], 0.0), axis=2)
+    B = jnp.sum(jnp.where(oh, slope[..., None], 0.0), axis=2)
+    vals = A + (fgrid[None] / 1000.0 - X) * B               # [.,T,128]
+    cand = jnp.sum(vals.reshape(nbg, 4, n_tiles * 128), axis=1) / 4.0
+    return jnp.where(usable[:, None], cand, 0.0)
+
+
 def band_candidates_pallas(filt, geo, *, bounds=None, groups=None,
-                           interpret=False, rb=2):
+                           interpret=False, rb=2, sweep="kernel"):
     """Raw candidate contours [nb, F] from band-filtered signals [nb, L].
 
     Drop-in replacement for vmap(_band_candidates) over the filter bank
@@ -327,11 +529,18 @@ def band_candidates_pallas(filt, geo, *, bounds=None, groups=None,
 
     outs = []
     for g in groups:
-        raw = _zc_group_call(
-            filt_T[g.lo:g.hi], y_length=y_len, stot=stot, f_pad=f_pad,
-            e_cap=g.e_cap, c_row=g.c_row, win=g.win,
-            fs_a=float(geo.actual_fs), interpret=interpret, rb=rb)
-        outs.append(raw[:, 0, :F])
+        if sweep == "xla":
+            ev, ccol = _zc_events_call(
+                filt_T[g.lo:g.hi], y_length=y_len, stot=stot,
+                e_cap=g.e_cap, c_row=g.c_row, interpret=interpret, rb=rb)
+            raw = _sweep_xla(ev, ccol, geo=geo, group=g, f_pad=f_pad)
+            outs.append(raw[:, :F])
+        else:
+            raw = _zc_group_call(
+                filt_T[g.lo:g.hi], y_length=y_len, stot=stot, f_pad=f_pad,
+                e_cap=g.e_cap, c_row=g.c_row, win=g.win,
+                fs_a=float(geo.actual_fs), interpret=interpret, rb=rb)
+            outs.append(raw[:, 0, :F])
     cand = jnp.concatenate(outs, axis=0)                 # [nb, F] means
 
     b = bounds[:, None]

@@ -26,6 +26,7 @@ import jax.numpy as jnp
 from worldtpu import constants as C
 from worldtpu.ops.fftutil import minimum_phase
 from worldtpu.ops.interp import interp1
+from worldtpu.ops import trig
 
 
 def dc_remover(fft_size, dtype=jnp.float64):
@@ -151,7 +152,16 @@ def pulse_responses(pt, shift, ns, vuv_at, valid, spectrogram,
 
     k = jnp.arange(K, dtype=dt)
     coeff = (2.0 * C.PI * fs / fft_size) * shift
-    re2 = jnp.cos(coeff[:, None] * k[None, :])
+    if dt != jnp.float64:
+        # seed-and-rotate evaluation (ops/trig.py): ~8x fewer
+        # transcendentals than the [P, K] grid; f64 parity stays literal
+        # clamp: the 2-term combine can overshoot |1| by ~1 ulp, which
+        # would NaN the sqrt below
+        re2 = jnp.clip(
+            trig.cos_affine(coeff.astype(dt), jnp.zeros_like(coeff, dt), K),
+            -1.0, 1.0)
+    else:
+        re2 = jnp.cos(coeff[:, None] * k[None, :])
     im2 = jnp.sqrt(1.0 - re2 * re2)  # |sin|: the reference's :452 quirk
     phase = (re2 - 1j * im2).astype(mp_per.dtype)
 

@@ -124,6 +124,7 @@ def _zc_group_kernel(filt_ref, out_ref, colbuf, cnt_smem, *,
 
     s8 = _round_up_static(stot, 8)
     chunks = []
+    ccols = []
     for r in range(rb):
         sT = filt_ref[r]                                 # [128, Stot]
         # s_{i+1} in lane-major layout: shift down one sublane, last
@@ -154,24 +155,36 @@ def _zc_group_kernel(filt_ref, out_ref, colbuf, cnt_smem, *,
                 rows.append(jnp.sum(jnp.where(sel, fine, 0.0), axis=0,
                                     keepdims=True))      # [1, Stot]
             chunkT = jnp.concatenate(rows, axis=0)       # [c_row, Stot]
+            ccol = jnp.sum((chunkT > 0.0).astype(dt), axis=0,
+                           keepdims=True)                # [1, Stot]
             if s8 != stot:
                 chunkT = jnp.concatenate(
                     [chunkT, jnp.zeros((c_row, s8 - stot), dt)], axis=1)
+                ccol = jnp.concatenate(
+                    [ccol, jnp.zeros((1, s8 - stot), dt)], axis=1)
             chunks.append(chunkT)
+            ccols.append(ccol)
 
-    def store_blk(s, carry):
+    lane_s8 = jax.lax.broadcasted_iota(jnp.int32, (1, s8), 1)
+
+    def store_blk(s, tiles):
         # 8 columns per step and ALL 4*rb chains per iteration.  Lanes
         # 0..7 are STATIC slices, then one 8-lane rotate per tile
         # (Mosaic has no dynamic-lane indexing).
+        # NO carried offset chain: each tile's offsets are seeded by an
+        # independent masked prefix reduce over the per-column counts, so
+        # the serial dependence depth drops from s8 columns to the 8
+        # within one tile and tiles overlap in the scheduler.  Ordering
+        # of the overlapping inf-padding writes is program order.
         # NOTE: a prefix-scan + dynamic-roll block compaction (one slab
         # store per 8 columns) was tried and is ~40% SLOWER — 8 dynamic
         # sublane rotations cost more than 8 small stores — and needs
         # per-column overflow clamps the dense chain gets for free.
-        offs, tiles = carry
-        new_offs = []
+        new_tiles = []
         for t in range(nch):
-            off = offs[t]
             tile = tiles[t]
+            off = jnp.sum(jnp.where(lane_s8 < 8 * s, ccols[t], 0.0),
+                          dtype=dt).astype(jnp.int32)
             for j in range(8):
                 col = tile[:, j:j + 1]
                 rc = jnp.sum((col > 0.0).astype(jnp.int32),
@@ -184,15 +197,12 @@ def _zc_group_kernel(filt_ref, out_ref, colbuf, cnt_smem, *,
                 colbuf[pl.ds(o, c_row), t:t + 1] = jnp.where(
                     col > 0.0, col, jnp.inf)
                 off = off + rc
-            new_offs.append(off)
-        return (tuple(new_offs),
-                tuple(pltpu.roll(tl, s8 - 8, axis=1) for tl in tiles))
+            new_tiles.append(pltpu.roll(tile, s8 - 8, axis=1))
+        return tuple(new_tiles)
 
-    cnts, _ = jax.lax.fori_loop(
-        0, s8 // 8, store_blk,
-        (tuple(jnp.int32(0) for _ in range(nch)), tuple(chunks)))
+    jax.lax.fori_loop(0, s8 // 8, store_blk, tuple(chunks))
     for t in range(nch):
-        cnt_smem[t] = cnts[t]
+        cnt_smem[t] = jnp.sum(ccols[t], dtype=dt).astype(jnp.int32)
 
     # ---- phase 2: locations/intervals + merge-sweep interpolation ----
     out_ref[...] = jnp.zeros((rb, 8, f_pad), dt)
@@ -326,6 +336,7 @@ def _zc_events_kernel(filt_ref, ev_ref, ccol_ref, *,
     s8 = _round_up_static(stot, 8)
     s_pad = ccol_ref.shape[2]
     chunks = []
+    ccols = []
     for r in range(rb):
         sT = filt_ref[r]
         top = sT[0:1, :]
@@ -359,14 +370,24 @@ def _zc_events_kernel(filt_ref, ev_ref, ccol_ref, *,
                 chunkT = jnp.concatenate(
                     [chunkT, jnp.zeros((c_row, s8 - stot), dt)], axis=1)
             chunks.append(chunkT)
+            ccols.append(jnp.concatenate(
+                [ccol, jnp.zeros((1, s8 - stot), dt)], axis=1))
 
-    def store_blk(s, carry):
-        offs, tiles = carry
-        new_offs = []
+    lane_s8 = jax.lax.broadcasted_iota(jnp.int32, (1, s8), 1)
+
+    def store_blk(s, tiles):
+        # NO carried offset chain: each tile's store offsets are seeded by
+        # an independent masked prefix reduce over the per-column counts
+        # (events in columns < 8s), so the serial dependence depth drops
+        # from s8 (~176 columns) to the 8 columns within one tile — tiles
+        # overlap in the scheduler.  Ordering of the overlapping
+        # inf-padding writes is preserved by program order.
+        new_tiles = []
         for c in range(4 * rb):
-            off = offs[c]
             tile = tiles[c]
             r, t = divmod(c, 4)
+            off = jnp.sum(jnp.where(lane_s8 < 8 * s, ccols[c], 0.0),
+                          dtype=dt).astype(jnp.int32)
             for j in range(8):
                 col = tile[:, j:j + 1]
                 rc = jnp.sum((col > 0.0).astype(jnp.int32),
@@ -375,13 +396,10 @@ def _zc_events_kernel(filt_ref, ev_ref, ccol_ref, *,
                 ev_ref[r, pl.ds(o, c_row), t:t + 1] = jnp.where(
                     col > 0.0, col, jnp.inf)
                 off = off + rc
-            new_offs.append(off)
-        return (tuple(new_offs),
-                tuple(pltpu.roll(tl, s8 - 8, axis=1) for tl in tiles))
+            new_tiles.append(pltpu.roll(tile, s8 - 8, axis=1))
+        return tuple(new_tiles)
 
-    jax.lax.fori_loop(
-        0, s8 // 8, store_blk,
-        (tuple(jnp.int32(0) for _ in range(4 * rb)), tuple(chunks)))
+    jax.lax.fori_loop(0, s8 // 8, store_blk, tuple(chunks))
 
 
 def _zc_events_call(filt_T, *, y_length, stot, e_cap, c_row, interpret,

@@ -34,6 +34,7 @@ from __future__ import annotations
 
 import functools
 import math
+import os
 
 import jax
 import jax.numpy as jnp
@@ -392,9 +393,22 @@ def _overlap_candidates(base):
     return jnp.stack(layers, axis=1).reshape(F, 7 * cb)
 
 
+def _kernel_env(name):
+    """Env override for a Pallas-kernel default: '0' disables, '1' forces,
+    'interpret' selects interpret mode; unset -> None (backend default)."""
+    v = os.environ.get(name)
+    if v is None:
+        return None
+    return {"0": False, "1": True}.get(v, v)
+
+
 def _use_zc_kernel_default():
     """The Pallas event kernel is the production path on TPU; the jnp
-    scatter path remains for CPU (tests) and as a fallback."""
+    scatter path remains for CPU (tests) and as a fallback.  Env override:
+    WORLDTPU_ZC=0|1|interpret."""
+    env = _kernel_env("WORLDTPU_ZC")
+    if env is not None:
+        return env
     return jax.default_backend() == "tpu"
 
 
@@ -681,7 +695,11 @@ def remove_unreliable_stage(cand, score):
 
 def _use_refine_kernel_default():
     """The Pallas adaptive refine kernel is the production path on TPU; the
-    dense jnp chunked path remains for CPU (tests) and f64 parity."""
+    dense jnp chunked path remains for CPU (tests) and f64 parity.  Env
+    override: WORLDTPU_REFINE=0|1|interpret."""
+    env = _kernel_env("WORLDTPU_REFINE")
+    if env is not None:
+        return env
     return jax.default_backend() == "tpu"
 
 

@@ -19,6 +19,7 @@ accumulation + fmod (bit-matching the C++) in the x64 parity path.
 from __future__ import annotations
 
 import functools
+import os
 
 import jax
 import jax.numpy as jnp
@@ -190,7 +191,11 @@ def pulse_responses(pt, shift, ns, vuv_at, valid, spectrogram,
 
 def _use_ola_kernel_default():
     """The Pallas overlap-add is the production path on TPU; the jnp
-    scatter remains for CPU (tests) and the f64 parity path."""
+    scatter remains for CPU (tests) and the f64 parity path.  Env
+    override: WORLDTPU_OLA=0|1|interpret."""
+    v = os.environ.get("WORLDTPU_OLA")
+    if v is not None:
+        return {"0": False, "1": True}.get(v, v)
     return jax.default_backend() == "tpu"
 
 

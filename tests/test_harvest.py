@@ -193,3 +193,23 @@ def test_harvest_end_to_end(name):
     rmse = np.sqrt(np.mean(err ** 2))
     assert rmse < 1e-6, f"F0 RMSE {rmse} Hz"
     assert err.max() < 1e-4, f"max F0 err {err.max()} Hz"
+
+
+def test_band_filter_matmul_matches_conv():
+    """The blocked-Toeplitz matmul form of the band filter bank computes
+    the same correlation as conv_general_dilated (f32 rounding only)."""
+    import jax
+    rng = np.random.RandomState(7)
+    geo = H.HarvestKernel(16000, 16000, f0_floor=40.0).geo
+    ym = jnp.asarray(rng.randn(geo.y_length).astype(np.float32) * 0.1)
+    for lo, hi, Lg in H._conv_groups(geo):
+        kern = H._bandpass_kernels(geo, jnp.float32, lo, hi, Lg)
+        ypad = jnp.pad(ym, (Lg - 1, Lg + 1))
+        oc = jax.lax.conv_general_dilated(
+            ypad[None, None, :], kern[:, None, :], window_strides=(1,),
+            padding="VALID", dimension_numbers=("NCW", "OIW", "NCW"),
+            precision=jax.lax.Precision.HIGHEST)[0]
+        om = H._band_filter_matmul(ym, geo, jnp.float32, lo, hi, Lg)
+        scale = float(np.abs(np.asarray(oc)).max())
+        np.testing.assert_allclose(np.asarray(om), np.asarray(oc),
+                                   rtol=0, atol=3e-6 * scale)

@@ -296,6 +296,71 @@ def _conv_groups(geo):
     return groups
 
 
+@functools.lru_cache(maxsize=32)
+def _conv_matmul_bank(geo, lo, hi, Lg):
+    """Shifted-kernel bank for the blocked-Toeplitz matmul form of the band
+    filter conv: K'[c1, q*Nbg + b] = kern[b, c1 - q] (0 <= c1-q < T, else 0)
+    with T = 2*Lg+1 taps, c1 < 128*W, q < 128.  Then for blocks
+    Bm[p, c1] = ypad[128p + c1] the product Bm @ K' yields every output
+    sample out[128p+q, b] = sum_t ypad[128p+q+t] kern[b, t] exactly — the
+    same correlation conv_general_dilated computes, but as ONE large MXU
+    matmul (the 1-input-channel conv lowers ~100x off the MXU roofline).
+    Returns (W, device K' [128W, 128*Nbg]) cached per (geo, group).
+
+    Pure numpy (called at trace time under omnistaging, where jnp ops
+    would stage instead of fold): mirrors _bandpass_kernels exactly."""
+    Lk = geo.max_filter_half if Lg is None else Lg
+    j = np.arange(2 * Lk + 1)
+    halves = np.asarray([_matlab_round_py(geo.actual_fs / b * 2.0)
+                         for b in geo.boundary_f0[lo:hi]],
+                        np.int64)[:, None]
+    bounds = np.asarray(geo.boundary_f0[lo:hi], np.float32)[:, None]
+    m = j[None, :] - Lk
+    in_f = np.abs(m) <= halves
+    tpos_w = ((m + halves) / (2.0 * halves)).astype(np.float32)
+    win = (0.355768
+           - 0.487396 * np.cos(2.0 * np.float32(C.PI) * tpos_w)
+           + 0.144232 * np.cos(4.0 * np.float32(C.PI) * tpos_w)
+           - 0.012604 * np.cos(6.0 * np.float32(C.PI) * tpos_w))
+    t_s = (m / geo.actual_fs).astype(np.float32)
+    kern = np.where(
+        in_f, (win * np.cos(2.0 * np.float32(C.PI) * bounds * t_s)
+               ).astype(np.float32), np.float32(0.0))
+    nbg, T = kern.shape
+    W = -(-(T + 127) // 128)                     # c1 = q + t <= 127 + T - 1
+    c1 = np.arange(128 * W)[:, None]
+    q = np.arange(128)[None, :]
+    t = c1 - q                                   # [128W, 128]
+    valid = (t >= 0) & (t < T)
+    kp = np.concatenate([kern, np.zeros((nbg, 1), np.float32)], axis=1)
+    kb = kp[:, np.where(valid, t, T)]            # [nbg, 128W, 128]
+    kb = np.ascontiguousarray(kb.transpose(1, 2, 0)).reshape(
+        128 * W, 128 * nbg)
+    return W, jax.device_put(kb)
+
+
+def _band_filter_matmul(ym, geo, dt, lo=0, hi=None, Lg=None):
+    """Band filter bank [Nbg, y_length] as a blocked-Toeplitz matmul (see
+    _conv_matmul_bank).  Same centered-correlation alignment as the conv
+    path: ypad = pad(ym, (Lg-1, Lg+1)) and out[n] = corr at lag n+1."""
+    if hi is None:
+        hi = geo.n_channels
+    if Lg is None:
+        Lg = geo.max_filter_half
+    nbg = hi - lo
+    W, kb = _conv_matmul_bank(geo, lo, hi, Lg)
+    y_len = geo.y_length
+    P = -(-y_len // 128)
+    ypad = jnp.pad(ym, (Lg - 1, 128 * (P + W) - y_len - 2 * Lg + Lg + 1))
+    blocks = ypad.reshape(P + W, 128)
+    bm = jnp.concatenate([blocks[j:j + P] for j in range(W)],
+                         axis=1)                  # [P, 128W]
+    out = jnp.dot(bm, kb.astype(dt),
+                  precision=jax.lax.Precision.DEFAULT)  # [P, 128*nbg]
+    out = out.reshape(P, 128, nbg).reshape(P * 128, nbg)
+    return out[:y_len].T                          # [nbg, y_len]
+
+
 def _band_filter_fft(y_spectrum, boundary_f0, filter_half, geo, dt):
     """One band's filtered signal via the reference's circular-FFT route."""
     fft_size = geo.fft_size
@@ -444,13 +509,16 @@ def candidates_stage(y, mean_y, tpos, *, geo, use_zc=None):
         # raw waveform), so bf16 jitter costs 0.007 Hz end-to-end F0 RMSE
         # (0.024 -> 0.032 Hz, gated in bench) for +17% pipeline throughput
         for lo, hi, Lg in _conv_groups(geo):
-            kern = _bandpass_kernels(geo, dt, lo, hi, Lg)
-            ypad = jnp.pad(ym, (Lg - 1, Lg + 1))
-            parts.append(jax.lax.conv_general_dilated(
-                ypad[None, None, :], kern[:, None, :],
-                window_strides=(1,), padding="VALID",
-                dimension_numbers=("NCW", "OIW", "NCW"),
-                precision=jax.lax.Precision.DEFAULT)[0])
+            if CONV_MODE == "matmul":
+                parts.append(_band_filter_matmul(ym, geo, dt, lo, hi, Lg))
+            else:
+                kern = _bandpass_kernels(geo, dt, lo, hi, Lg)
+                ypad = jnp.pad(ym, (Lg - 1, Lg + 1))
+                parts.append(jax.lax.conv_general_dilated(
+                    ypad[None, None, :], kern[:, None, :],
+                    window_strides=(1,), padding="VALID",
+                    dimension_numbers=("NCW", "OIW", "NCW"),
+                    precision=jax.lax.Precision.DEFAULT)[0])
         filt = jnp.concatenate(parts, axis=0)         # [Nb, y_len]
         if use_zc is None:
             use_zc = _use_zc_kernel_default()
@@ -713,6 +781,11 @@ REFINE_GP = 1
 #: zc merge-sweep location: "kernel" (in-kernel carried-window sweep) or
 #: "xla" (phase-1-only kernel + dense XLA sweep, zc_kernel._sweep_xla).
 ZC_SWEEP = "kernel"
+
+#: Band-filter implementation for the f32 candidates path: "conv"
+#: (conv_general_dilated) or "matmul" (blocked-Toeplitz MXU matmul,
+#: _band_filter_matmul).  Env override: WORLDTPU_CONV.
+CONV_MODE = os.environ.get("WORLDTPU_CONV", "conv")
 
 
 @functools.partial(jax.jit, static_argnames=("geo", "chunk", "use_refine"))

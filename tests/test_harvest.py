@@ -213,3 +213,38 @@ def test_band_filter_matmul_matches_conv():
         scale = float(np.abs(np.asarray(oc)).max())
         np.testing.assert_allclose(np.asarray(om), np.asarray(oc),
                                    rtol=0, atol=3e-6 * scale)
+
+
+def test_grid_stride_2ms():
+    """GRID_MS=2 (opt-in coarse candidate grid) stays within its documented
+    quality envelope vs the golden C++ F0, and GRID_MS=1 is the default."""
+    import gzip
+    from worldtpu.io import wav as wav_io
+    from worldtpu.io import params as params_io
+    assert H.GRID_MS == 1
+    x, fs, _ = wav_io.wavread("tests/fixtures/t16.wav")
+    f0_ref, _, _ = params_io.read_f0("tests/fixtures/t16.f0.gz")
+    x = np.asarray(x, np.float32)
+    hk = H.HarvestKernel(fs, len(x))
+    old = H.GRID_MS
+    try:
+        H.GRID_MS = 2
+        for f in (H.candidates_stage, H.harvest_device_stages,
+                  H.harvest_device_full):
+            f.clear_cache()
+        f0, _ = hk.compute(jnp.asarray(x), dtype=jnp.float32)
+    finally:
+        H.GRID_MS = old
+        for f in (H.candidates_stage, H.harvest_device_stages,
+                  H.harvest_device_full):
+            f.clear_cache()
+    f0 = np.asarray(f0)
+    ref = np.asarray(f0_ref)[:len(f0)]
+    vb = (f0 > 0) & (ref > 0)
+    vuv = float(np.mean((f0 > 0) == (ref > 0)))
+    rmse = float(np.sqrt(np.mean((f0[vb] - ref[vb]) ** 2)))
+    # coarse grid loses ~2 ms of voicing-boundary resolution; the bulk
+    # contour stays within ~0.1 Hz (documented fast-mode envelope)
+    assert vuv > 0.97, vuv
+    assert rmse < 5.0, rmse
+    assert float(np.median(np.abs(f0[vb] - ref[vb]))) < 0.2

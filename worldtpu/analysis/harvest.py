@@ -111,6 +111,7 @@ class HarvestGeometry:
         self.frame_period = frame_period
         self.channels_in_octave = channels_in_octave
         self.use_cos_table = use_cos_table
+        self.target_fs = target_fs
 
         self.ratio = max(1, min(12, _matlab_round_py(fs / target_fs)))
         self.actual_fs = fs / self.ratio
@@ -146,6 +147,33 @@ class HarvestGeometry:
         self.e_max = int(min(self.y_length // 2 + 2,
                              dur * adj_ceil * 1.8 + 64))
 
+        #: internal candidate-grid period (ms).  The reference runs its
+        #: generalBody on a 1 ms grid (harvest.cpp:191-196); with_grid(k)
+        #: derives a geometry for a coarser k ms candidate/refine grid
+        #: (the contour chain stays on the 1 ms grid via nearest-frame
+        #: upsampling, mirroring the reference's own frame_period
+        #: subsampling at :201-203).
+        self.grid_ms = 1
+        self._grid_cache = {}
+
+    def with_grid(self, k):
+        """Memoized copy of this geometry on a k ms candidate grid (same
+        object identity per k, so jit static-arg caching stays stable)."""
+        if k == self.grid_ms:
+            return self
+        if k not in self._grid_cache:
+            g = HarvestGeometry(
+                self.fs, self.x_length, f0_floor=self.f0_floor,
+                f0_ceil=self.f0_ceil, frame_period=self.frame_period,
+                target_fs=self.target_fs,
+                channels_in_octave=self.channels_in_octave,
+                use_cos_table=self.use_cos_table)
+            # reference getSamples(fs, x_length, frame_period=k) (:173-176)
+            g.f0_length = 1 + int(1000.0 * self.x_length / self.fs / k)
+            g.grid_ms = k
+            self._grid_cache[k] = g
+        return self._grid_cache[k]
+
 
 # ---------------------------------------------------------------------------
 # stage A: decimation
@@ -173,7 +201,7 @@ def decimate_stage(x, *, ratio, y_length):
 # stage B: band candidates
 # ---------------------------------------------------------------------------
 
-def _zero_crossings(sig, n_eff, e_max, fs_a, tpos):
+def _zero_crossings(sig, n_eff, e_max, fs_a, tpos, grid_hz=1000.0):
     """Events + interval interpolation for one signal (one band, one of the
     four crossing types).  Reference zeroCrossingEngine (:1179-1219) +
     interp1-to-frames (:1113-1126).
@@ -237,7 +265,7 @@ def _zero_crossings(sig, n_eff, e_max, fs_a, tpos):
     # binary search: seg(t) = clip(#locations <= t, 1, n_int-1), counted by
     # scattering each location into its first affected frame + cumsum
     F = tpos.shape[0]
-    first_frame = jnp.ceil(locations * 1000.0).astype(jnp.int32)
+    first_frame = jnp.ceil(locations * grid_hz).astype(jnp.int32)
     first_frame = jnp.where(k < n_int, jnp.clip(first_frame, 0, F), F)
     hits = jnp.zeros((F + 1,), jnp.int32).at[first_frame].add(1)
     nle = jnp.cumsum(hits[:F])                     # #locs <= t_f
@@ -391,7 +419,8 @@ def _band_candidates(f, boundary_f0, geo, tpos):
     sigs = jnp.stack([f, -f, g, -g])
     n_effs = jnp.asarray([y_len, y_len, y_len - 1, y_len - 1])
     cs, ns = jax.vmap(
-        lambda s, ne: _zero_crossings(s, ne, geo.e_max, fs_a, tpos))(
+        lambda s, ne: _zero_crossings(s, ne, geo.e_max, fs_a, tpos,
+                                      grid_hz=1000.0 / geo.grid_ms))(
             sigs, n_effs)
 
     usable = jnp.all(ns - 1 > 2)
@@ -787,29 +816,55 @@ ZC_SWEEP = "kernel"
 #: _band_filter_matmul).  Env override: WORLDTPU_CONV.
 CONV_MODE = os.environ.get("WORLDTPU_CONV", "conv")
 
+#: Internal candidate/refine grid period in ms for the f32 production
+#: path (1 = the reference's grid; 2 halves per-frame stage cost, with
+#: the contour chain still fixed/smoothed on the 1 ms grid).  Env
+#: override: WORLDTPU_GRID_MS.
+GRID_MS = int(os.environ.get("WORLDTPU_GRID_MS", "1"))
+
 
 @functools.partial(jax.jit, static_argnames=("geo", "chunk", "use_refine"))
 def harvest_device_stages(x, mean_y, *, geo, chunk=64, use_refine=None):
     """decimate -> candidates -> refine -> prune as ONE program.
 
     Returns a single flat [2*F*S] array (candidates ++ scores) so the
-    host contour stage costs exactly one device->host transfer."""
+    host contour stage costs exactly one device->host transfer.
+
+    With GRID_MS=k > 1 (f32 production opt-in) the candidate/refine/prune
+    stages run on a k ms grid and the result is nearest-frame upsampled to
+    the 1 ms contour grid — the same subsampling the reference applies
+    between its 1 ms internal grid and the output frame_period
+    (harvest.cpp:199-203), moved one stage earlier.  The per-frame stage
+    cost scales by 1/k; contour-fix semantics stay on the 1 ms grid."""
     dtype = x.dtype
+    k = GRID_MS if dtype == jnp.float32 else 1
+    geo_k = geo.with_grid(k)
     y = decimate_stage(x, ratio=geo.ratio, y_length=geo.y_length)
-    tpos1 = jnp.arange(geo.f0_length, dtype=dtype) / 1000.0
-    cand, _, _ = candidates_stage(y, mean_y, tpos1, geo=geo)
+    tposk = jnp.arange(geo_k.f0_length, dtype=dtype) * (k / 1000.0)
+    cand, _, _ = candidates_stage(y, mean_y, tposk, geo=geo_k)
     if use_refine is None:
         use_refine = (dtype == jnp.float32) and _use_refine_kernel_default()
     if use_refine:
         from worldtpu.ops.refine_kernel import refine_stage_pallas
         cand, score = refine_stage_pallas(
-            y - mean_y, cand, tpos1, geo=geo,
+            y - mean_y, cand, tposk, geo=geo_k,
             interpret=(use_refine == "interpret"),
             dedup_tol=REFINE_DEDUP_TOL, gp=REFINE_GP)
     else:
-        cand, score = refine_stage(y - mean_y, cand, tpos1, geo=geo,
+        cand, score = refine_stage(y - mean_y, cand, tposk, geo=geo_k,
                                    chunk=chunk)
     cand, score = remove_unreliable_stage(cand, score)
+    if k != 1:
+        # nearest-frame upsample to the 1 ms grid: 1 ms frame i reads grid
+        # frame matlab_round(i/k) = (2i+k)//(2k), which repeat-by-k
+        # realizes as row (i + k//2)//k after an offset-k//2 slice
+        F1 = geo.f0_length
+        def up(a):
+            rep = jnp.repeat(a, k, axis=0)
+            rep = jnp.concatenate([rep, jnp.repeat(a[-1:], k, axis=0)],
+                                  axis=0)
+            return jax.lax.dynamic_slice_in_dim(rep, k // 2, F1, axis=0)
+        cand, score = up(cand), up(score)
     return jnp.concatenate([cand.reshape(-1), score.reshape(-1)])
 
 

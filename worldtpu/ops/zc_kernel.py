@@ -67,11 +67,13 @@ class _GroupGeom:
         # per-128-sample-column capacity: min spacing fs_a/(1.5*bound)
         rate = 1.5 * bound_top / geo.actual_fs          # events per sample
         self.c_row = _round_up(int(128.0 * rate) + 4, 8)
-        # merge-sweep window: locations per 128 ms frame tile + slack.
-        # The crossing rate of a [0.5b, 1.5b]-bandpassed signal is bounded
-        # by 1.5b; 1.65 margin + base-quantization slack (the window is
-        # ~2/3 of the kernel wall, so slack is kept tight)
-        self.win = _round_up(int(0.128 * bound_top * 1.65) + 24, 64)
+        # merge-sweep window: locations per 128-frame tile (128*grid_ms ms
+        # of signal) + slack.  The crossing rate of a [0.5b, 1.5b]-
+        # bandpassed signal is bounded by 1.5b; 1.65 margin + base-
+        # quantization slack (the window is ~2/3 of the kernel wall, so
+        # slack is kept tight)
+        self.win = _round_up(
+            int(0.128 * geo.grid_ms * bound_top * 1.65) + 24, 64)
         self.e_cap = _round_up(max(self.e_cap, self.win + 16), 128)
         self.win = min(self.win, self.e_cap - 8)
 
@@ -98,7 +100,7 @@ def make_groups(geo, n_groups=5, stride=1):
 
 def _zc_group_kernel(filt_ref, out_ref, colbuf, cnt_smem, *,
                      y_length, stot, f_pad, e_cap, c_row, win, fs_a,
-                     n_frames_tiles, rb=1):
+                     n_frames_tiles, rb=1, grid_hz=1000.0):
     """``rb`` bands per grid cell.  filt_ref [rb, 128, Stot], out
     [rb, 8, Fpad] (row 0 of the middle dim carries each band's result; the
     8-row middle dim exists only to satisfy Mosaic's (8, 128)-divisible
@@ -251,7 +253,7 @@ def _zc_group_kernel(filt_ref, out_ref, colbuf, cnt_smem, *,
             y0r = jnp.where(jnp.isfinite(itvw[:wext]), itvw[:wext], 0.0)
             x0s = jnp.where(jnp.isfinite(x0r), x0r, 0.0)
 
-            ffw = jnp.ceil(locw[:wext] * 1000.0)
+            ffw = jnp.ceil(locw[:wext] * grid_hz)
             in_cmp = (subw >= off) & (subw < off + win)
             cmp = in_cmp & (ffw <= fgrid)                   # [wext, 128]
             nle = jb + jnp.sum(cmp.astype(jnp.int32), axis=0,
@@ -262,7 +264,7 @@ def _zc_group_kernel(filt_ref, out_ref, colbuf, cnt_smem, *,
             X = jnp.sum(jnp.where(oh, x0s, 0.0), axis=0, keepdims=True)
             B = jnp.sum(jnp.where(oh, slope, 0.0), axis=0, keepdims=True)
             vals_sums[t // 4] = (vals_sums[t // 4]
-                                 + (A + (fgrid / 1000.0 - X) * B))
+                                 + (A + (fgrid / grid_hz - X) * B))
             # advance the window base
             adv = jnp.sum(cmp[:, 127:128].astype(jnp.int32),
                           dtype=jnp.int32)
@@ -284,7 +286,7 @@ def _zc_group_kernel(filt_ref, out_ref, colbuf, cnt_smem, *,
 
 
 def _zc_group_call(filt_T, *, y_length, stot, f_pad, e_cap, c_row, win,
-                   fs_a, interpret, rb=2):
+                   fs_a, interpret, rb=2, grid_hz=1000.0):
     nb = filt_T.shape[0]
     nbp = _round_up(nb, rb)
     if nbp != nb:
@@ -295,7 +297,7 @@ def _zc_group_call(filt_T, *, y_length, stot, f_pad, e_cap, c_row, win,
     kern = functools.partial(
         _zc_group_kernel, y_length=y_length, stot=stot, f_pad=f_pad,
         e_cap=e_cap, c_row=c_row, win=win, fs_a=fs_a,
-        n_frames_tiles=n_tiles, rb=rb)
+        n_frames_tiles=n_tiles, rb=rb, grid_hz=grid_hz)
     out = pl.pallas_call(
         kern,
         grid=(nbp // rb,),
@@ -448,6 +450,7 @@ def _sweep_xla(ev, ccol, *, geo, group, f_pad):
     nbg = ev.shape[0]
     e_cap, c_row, win = group.e_cap, group.c_row, group.win
     fs_a = float(geo.actual_fs)
+    grid_hz = 1000.0 / geo.grid_ms
     n_tiles = f_pad // 128
 
     evT = jnp.transpose(ev[:, :, :4], (0, 2, 1))            # [nbg, 4, e_cap]
@@ -470,7 +473,7 @@ def _sweep_xla(ev, ccol, *, geo, group, f_pad):
     # satisfies ffw <= fgrid for the whole tile)
     colcum = jnp.cumsum(ccol[:, :4, :], axis=2)             # inclusive
     tile_pos = (np.arange(n_tiles) * 128 - 1).astype(np.float64) \
-        / 1000.0 * fs_a
+        / grid_hz * fs_a
     tile_col = np.maximum(np.floor(tile_pos / 128.0).astype(np.int32), 0)
     before = jnp.take(colcum,
                       jnp.asarray(np.maximum(tile_col - 1, 0)), axis=2)
@@ -500,7 +503,7 @@ def _sweep_xla(ev, ccol, *, geo, group, f_pad):
     slope = jnp.where(jnp.isfinite(slope), slope, 0.0)
     y0r = jnp.where(jnp.isfinite(itvw[..., :wc]), itvw[..., :wc], 0.0)
     x0s = jnp.where(jnp.isfinite(x0r), x0r, 0.0)
-    ffw = jnp.ceil(locw[..., :wc] * 1000.0)                 # [.,T,wc]
+    ffw = jnp.ceil(locw[..., :wc] * grid_hz)                # [.,T,wc]
 
     rows = jnp.arange(wc, dtype=jnp.int32)
     # rows below the count base are already inside cb; don't double-count
@@ -518,7 +521,7 @@ def _sweep_xla(ev, ccol, *, geo, group, f_pad):
     A = jnp.sum(jnp.where(oh, y0r[..., None], 0.0), axis=2)
     X = jnp.sum(jnp.where(oh, x0s[..., None], 0.0), axis=2)
     B = jnp.sum(jnp.where(oh, slope[..., None], 0.0), axis=2)
-    vals = A + (fgrid[None] / 1000.0 - X) * B               # [.,T,128]
+    vals = A + (fgrid[None] / grid_hz - X) * B              # [.,T,128]
     cand = jnp.sum(vals.reshape(nbg, 4, n_tiles * 128), axis=1) / 4.0
     return jnp.where(usable[:, None], cand, 0.0)
 
@@ -557,7 +560,8 @@ def band_candidates_pallas(filt, geo, *, bounds=None, groups=None,
             raw = _zc_group_call(
                 filt_T[g.lo:g.hi], y_length=y_len, stot=stot, f_pad=f_pad,
                 e_cap=g.e_cap, c_row=g.c_row, win=g.win,
-                fs_a=float(geo.actual_fs), interpret=interpret, rb=rb)
+                fs_a=float(geo.actual_fs), interpret=interpret, rb=rb,
+                grid_hz=1000.0 / geo.grid_ms)
             outs.append(raw[:, 0, :F])
     cand = jnp.concatenate(outs, axis=0)                 # [nb, F] means
 

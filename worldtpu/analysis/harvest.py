@@ -384,7 +384,7 @@ def _band_filter_matmul(ym, geo, dt, lo=0, hi=None, Lg=None):
     bm = jnp.concatenate([blocks[j:j + P] for j in range(W)],
                          axis=1)                  # [P, 128W]
     out = jnp.dot(bm, kb.astype(dt),
-                  precision=jax.lax.Precision.DEFAULT)  # [P, 128*nbg]
+                  precision=CONV_MM_PRECISION)    # [P, 128*nbg]
     out = out.reshape(P, 128, nbg).reshape(P * 128, nbg)
     return out[:y_len].T                          # [nbg, y_len]
 
@@ -815,6 +815,15 @@ ZC_SWEEP = "kernel"
 #: (conv_general_dilated) or "matmul" (blocked-Toeplitz MXU matmul,
 #: _band_filter_matmul).  Env override: WORLDTPU_CONV.
 CONV_MODE = os.environ.get("WORLDTPU_CONV", "conv")
+
+#: MXU precision for the blocked-Toeplitz band-filter matmul.  The matmul
+#: is cheap enough (~60 GFLOP/batch) that HIGHEST (f32-exact, recovers the
+#: bf16 conv's 0.007 Hz F0-RMSE jitter) may be affordable — A/B on device.
+CONV_MM_PRECISION = {
+    "default": jax.lax.Precision.DEFAULT,
+    "high": jax.lax.Precision.HIGH,
+    "highest": jax.lax.Precision.HIGHEST,
+}[os.environ.get("WORLDTPU_CONV_PRECISION", "default")]
 
 #: Internal candidate/refine grid period in ms for the f32 production
 #: path (1 = the reference's grid; 2 halves per-frame stage cost, with

@@ -95,7 +95,7 @@ def test_batch_harvest_sharded_matches_single():
         jnp.asarray(x), geo=geo, mesh=mesh, chunk=16, use_zc=False)
 
     flat_1 = H.harvest_device_stages_batch(
-        jnp.asarray(x), jnp.zeros((4,), jnp.float32), geo, 16)
+        jnp.asarray(x), jnp.zeros((4,), jnp.float32), geo, 16, 1)
 
     np.testing.assert_array_equal(np.asarray(flat_sh), np.asarray(flat_1))
 

@@ -78,9 +78,12 @@ def _select_best_f0(reference_f0, candidates, allowed_range):
     return candidates[idx], err[idx]
 
 
-def _extend_f0(ext, origin, last_point, shift, candidates, allowed_range):
-    """Reference extendF0 (:371-403)."""
-    threshold = 4
+def _extend_f0(ext, origin, last_point, shift, candidates, allowed_range,
+               miss_limit=4):
+    """Reference extendF0 (:371-403).  miss_limit is the 4-consecutive-miss
+    stop rule — 4 ms of missing candidates on the 1 ms grid; a coarser
+    grid scales it down to keep the same time semantics."""
+    threshold = miss_limit
     tmp_f0 = ext[origin]
     shifted_origin = origin
     distance = abs(last_point - origin)
@@ -99,22 +102,28 @@ def _extend_f0(ext, origin, last_point, shift, candidates, allowed_range):
     return shifted_origin
 
 
-def _extend(multi_f0, boundary, f0_length, candidates, allowed_range):
+def _extend(multi_f0, boundary, f0_length, candidates, allowed_range,
+            grid_ms=1):
     """Reference extend (:427-458): grow each section outward, then move
-    long-enough sections to the front (extendSub)."""
-    threshold = 100
+    long-enough sections to the front (extendSub).
+
+    The 100-frame growth limit and the 2200/meanF0-frame keep gate are
+    TIME semantics on the reference's 1 ms grid; a coarser grid scales
+    both by 1/grid_ms."""
+    threshold = max(1, round(100 / grid_ms))
+    miss_limit = max(1, round(4 / grid_ms))
     n_sections = len(multi_f0)
     for i in range(n_sections):
         boundary[i * 2 + 1] = _extend_f0(
             multi_f0[i], boundary[i * 2 + 1],
             min(f0_length - 2, boundary[i * 2 + 1] + threshold), 1,
-            candidates, allowed_range)
+            candidates, allowed_range, miss_limit)
         boundary[i * 2] = _extend_f0(
             multi_f0[i], boundary[i * 2],
             max(1, boundary[i * 2] - threshold), -1,
-            candidates, allowed_range)
+            candidates, allowed_range, miss_limit)
 
-    threshold2 = 2200.0
+    threshold2 = 2200.0 / grid_ms
     count = 0
     mean_f0 = np.float64(0.0)
     for i in range(n_sections):
@@ -188,7 +197,7 @@ def _merge_f0(multi_f0, boundary, n_channels, f0_length, candidates, scores):
     return merged
 
 
-def fix_step3(f0_step2, candidates, scores, allowed_range=0.18):
+def fix_step3(f0_step2, candidates, scores, allowed_range=0.18, grid_ms=1):
     """Extend voiced sections by contour continuity (reference :560-585)."""
     f0_step2 = np.asarray(f0_step2)
     out = f0_step2.copy()
@@ -203,7 +212,7 @@ def fix_step3(f0_step2, candidates, scores, allowed_range=0.18):
         ch[b[2 * i]:b[2 * i + 1] + 1] = f0_step2[b[2 * i]:b[2 * i + 1] + 1]
         multi.append(ch)
     n_channels = _extend(multi, boundary, len(f0_step2), candidates,
-                         allowed_range)
+                         allowed_range, grid_ms)
     if n_channels == 0:
         # the reference's mergeF0 still copies multi_channel_f0[0] wholesale
         # when no section survived extendSub (harvest.cpp:515)
@@ -283,10 +292,15 @@ def smooth_f0_contour(f0):
     return out
 
 
-def fix_f0_contour(candidates, scores):
-    """Full contour fixing chain (reference fixF0Contour :619-634)."""
+def fix_f0_contour(candidates, scores, grid_ms=1):
+    """Full contour fixing chain (reference fixF0Contour :619-634).
+
+    grid_ms > 1 scales the TIME-semantic constants (per-step change
+    gates by grid_ms; frame-count windows by 1/grid_ms) so the chain
+    behaves consistently on a coarser candidate grid."""
+    k = grid_ms
     c1 = search_f0_base(candidates, scores)
-    c2 = fix_step1(c1, 0.008)
-    c1 = fix_step2(c2, 6)
-    c2 = fix_step3(c1, candidates, scores, 0.18)
-    return fix_step4(c2, 9)
+    c2 = fix_step1(c1, 0.008 * k)
+    c1 = fix_step2(c2, max(1, round(6 / k)))
+    c2 = fix_step3(c1, candidates, scores, 0.18 * k, grid_ms=k)
+    return fix_step4(c2, max(1, round(9 / k)))

@@ -111,7 +111,7 @@ _EXTEND_CHUNK = 64
 
 
 def _extend_both(ch, ss, st, ed, n_sec, candidates, scores,
-                 allowed_range, s_max):
+                 allowed_range, s_max, grid_ms=1):
     """Parallel extendF0 (:371-403): both directions at once, compact
     section chunks, early-exit walk.
 
@@ -136,6 +136,10 @@ def _extend_both(ch, ss, st, ed, n_sec, candidates, scores,
 
     Returns (ch, ss with extensions written, st2, ed2 shifted origins)."""
     F = candidates.shape[0]
+    # the 100-frame growth limit and 4-consecutive-miss stop are TIME
+    # semantics on the 1 ms reference grid; a coarser grid scales both
+    ext_lim = max(1, round(100 / grid_ms))
+    miss_lim = max(1, round(4 / grid_ms))
     CK = _EXTEND_CHUNK
     s_pad = -(-s_max // CK) * CK
     ch = jnp.pad(ch, ((0, s_pad - s_max), (0, 0)))
@@ -158,12 +162,12 @@ def _extend_both(ch, ss, st, ed, n_sec, candidates, scores,
         ed_c = jax.lax.dynamic_slice(ed, (base,), (CK,))
         st_c = jax.lax.dynamic_slice(st, (base,), (CK,))
         live = (base + rk) < n_sec
-        # fwd rows 0..CK-1 walk ed -> ed+100; bwd rows CK.. walk st -> st-100
+        # fwd rows 0..CK-1 walk ed -> ed+lim; bwd rows CK.. walk st -> st-lim
         origin = jnp.concatenate([ed_c, st_c])
         shift = jnp.concatenate([jnp.full((CK,), 1, jnp.int32),
                                  jnp.full((CK,), -1, jnp.int32)])
-        limit = jnp.concatenate([jnp.minimum(F - 2, ed_c + 100),
-                                 jnp.maximum(1, st_c - 100)])
+        limit = jnp.concatenate([jnp.minimum(F - 2, ed_c + ext_lim),
+                                 jnp.maximum(1, st_c - ext_lim)])
         distance = jnp.abs(limit - origin)
         live2 = jnp.concatenate([live, live])
         tmp0 = jnp.concatenate([ch_s, ch_s])[
@@ -172,7 +176,7 @@ def _extend_both(ch, ss, st, ed, n_sec, candidates, scores,
         def walk_cond(w):
             i, tmp, cnt, so, stopped, ch_s, ss_s = w
             done = stopped | (i > distance) | ~live2
-            return (i < 101) & ~jnp.all(done)
+            return (i < ext_lim + 1) & ~jnp.all(done)
 
         def walk_body(w):
             i, tmp, cnt, so, stopped, ch_s, ss_s = w
@@ -190,7 +194,7 @@ def _extend_both(ch, ss, st, ed, n_sec, candidates, scores,
             cnt = jnp.where(on, jnp.where(zero, cnt + 1, 0), cnt)
             tmp = jnp.where(on & ~zero, val, tmp)
             so = jnp.where(on & ~zero, j, so)
-            stopped = stopped | (on & (cnt == 4))
+            stopped = stopped | (on & (cnt == miss_lim))
             # one-hot column write per direction (fresh column each step)
             hit_f = (colw == jc[:CK, None]) & on[:CK, None]
             hit_b = (colw == jc[CK:, None]) & on[CK:, None]
@@ -216,7 +220,7 @@ def _extend_both(ch, ss, st, ed, n_sec, candidates, scores,
     return (ch[:s_max], ss[:s_max], st2[:s_max], ed2[:s_max])
 
 
-def fix_step3(f0_step2, candidates, scores, allowed_range=0.18):
+def fix_step3(f0_step2, candidates, scores, allowed_range=0.18, grid_ms=1):
     """Extend voiced sections by contour continuity, then merge
     (reference :560-585 + extend/merge :427-536)."""
     F = f0_step2.shape[0]
@@ -248,7 +252,7 @@ def fix_step3(f0_step2, candidates, scores, allowed_range=0.18):
 
     # ---- extend (:427-458) ----
     ch, ss, st2, ed2 = _extend_both(ch, ss, st, ed, n_sec, candidates,
-                                    scores, allowed_range, s_max)
+                                    scores, allowed_range, s_max, grid_ms)
 
     # ---- extendSub: mean-based section filter (:440-458) ----
     # NOTE: mean_f0 accumulates WITHOUT reset between sections
@@ -264,7 +268,7 @@ def fix_step3(f0_step2, candidates, scores, allowed_range=0.18):
         return m2, m2
     _, means = jax.lax.scan(mean_step, jnp.asarray(0.0, f0_step2.dtype),
                             (ssum, length))
-    keep = (2200.0 / means < length) & (rows < n_sec)
+    keep = (2200.0 / grid_ms / means < length) & (rows < n_sec)
     n_ch = jnp.sum(keep)
 
     # survivors to the front, preserving order (reference swapArray)
@@ -452,20 +456,27 @@ def smooth_f0_contour(f0, s_max=None):
     return jnp.where(v[_LAG:_LAG + F], out[_LAG:_LAG + F], 0.0)
 
 
-def fix_and_smooth(candidates, scores, n_out, frame_period_ms):
+def fix_and_smooth(candidates, scores, n_out, frame_period_ms, grid_ms=1):
     """Full device contour chain: candidates/scores [F, S] -> F0 at the
     output frame grid [n_out] (reference fixF0Contour + smoothF0Contour +
-    the 1 ms -> frame_period subsampling, harvest.cpp:183-208,619-634)."""
+    the internal-grid -> frame_period subsampling,
+    harvest.cpp:183-208,619-634).
+
+    grid_ms is the candidates' internal grid period; the TIME-semantic
+    fix constants scale with it (per-step change gates by grid_ms,
+    frame-count windows by 1/grid_ms) so the chain behaves consistently
+    on a coarser grid.  grid_ms=1 is exactly the reference chain."""
     F = candidates.shape[0]
+    k = grid_ms
     c1 = search_f0_base(candidates, scores)
-    c2 = fix_step1(c1, 0.008)
-    c1 = fix_step2(c2, 6)
-    c2 = fix_step3(c1, candidates, scores, 0.18)
-    best = fix_step4(c2, 9)
-    f0_1ms = smooth_f0_contour(best)
+    c2 = fix_step1(c1, 0.008 * k)
+    c1 = fix_step2(c2, max(1, round(6 / k)))
+    c2 = fix_step3(c1, candidates, scores, 0.18 * k, grid_ms=k)
+    best = fix_step4(c2, max(1, round(9 / k)))
+    f0_grid = smooth_f0_contour(best)
     tpos = jnp.arange(n_out, dtype=candidates.dtype) \
         * (frame_period_ms / 1000.0)
-    x = tpos * 1000.0
+    x = tpos * (1000.0 / grid_ms)
     pick = jnp.minimum(F - 1, jnp.where(
         x > 0, jnp.floor(x + 0.5), jnp.ceil(x - 0.5)).astype(jnp.int32))
-    return f0_1ms[pick]
+    return f0_grid[pick]

@@ -832,21 +832,34 @@ CONV_MM_PRECISION = {
 GRID_MS = int(os.environ.get("WORLDTPU_GRID_MS", "1"))
 
 
-@functools.partial(jax.jit, static_argnames=("geo", "chunk", "use_refine"))
-def harvest_device_stages(x, mean_y, *, geo, chunk=64, use_refine=None):
+def _grid_for(dtype, grid=None):
+    """Internal candidate-grid period: the GRID_MS opt-in applies to the
+    f32 production path only (f64 parity is pinned to the reference's
+    1 ms grid); an explicit `grid` overrides."""
+    if grid is not None:
+        return grid
+    return GRID_MS if dtype == jnp.float32 else 1
+
+
+@functools.partial(jax.jit,
+                   static_argnames=("geo", "chunk", "use_refine", "grid"))
+def harvest_device_stages(x, mean_y, *, geo, chunk=64, use_refine=None,
+                          grid=None):
     """decimate -> candidates -> refine -> prune as ONE program.
 
-    Returns a single flat [2*F*S] array (candidates ++ scores) so the
+    Returns a single flat [2*Fk*S] array (candidates ++ scores) so the
     host contour stage costs exactly one device->host transfer.
 
-    With GRID_MS=k > 1 (f32 production opt-in) the candidate/refine/prune
-    stages run on a k ms grid and the result is nearest-frame upsampled to
-    the 1 ms contour grid — the same subsampling the reference applies
-    between its 1 ms internal grid and the output frame_period
-    (harvest.cpp:199-203), moved one stage earlier.  The per-frame stage
-    cost scales by 1/k; contour-fix semantics stay on the 1 ms grid."""
+    With GRID_MS=k > 1 (f32 production opt-in; or explicit grid=k) ALL
+    per-frame stages INCLUDING the downstream contour chain run on a k ms
+    grid — exactly what the reference's own frame-period-parameterized
+    generalBody computes at frame_period=k (harvest.cpp:1380-1441; its
+    fixF0Contour constants are frame-based and unscaled by design) — and
+    the consumer subsamples the k ms contour to the output frame_period
+    with the same nearest-frame rule as :199-203.  Fk is
+    geo.with_grid(k).f0_length; per-frame stage cost scales by 1/k."""
     dtype = x.dtype
-    k = GRID_MS if dtype == jnp.float32 else 1
+    k = _grid_for(dtype, grid)
     geo_k = geo.with_grid(k)
     y = decimate_stage(x, ratio=geo.ratio, y_length=geo.y_length)
     tposk = jnp.arange(geo_k.f0_length, dtype=dtype) * (k / 1000.0)
@@ -863,24 +876,14 @@ def harvest_device_stages(x, mean_y, *, geo, chunk=64, use_refine=None):
         cand, score = refine_stage(y - mean_y, cand, tposk, geo=geo_k,
                                    chunk=chunk)
     cand, score = remove_unreliable_stage(cand, score)
-    if k != 1:
-        # nearest-frame upsample to the 1 ms grid: 1 ms frame i reads grid
-        # frame matlab_round(i/k) = (2i+k)//(2k), which repeat-by-k
-        # realizes as row (i + k//2)//k after an offset-k//2 slice
-        F1 = geo.f0_length
-        def up(a):
-            rep = jnp.repeat(a, k, axis=0)
-            rep = jnp.concatenate([rep, jnp.repeat(a[-1:], k, axis=0)],
-                                  axis=0)
-            return jax.lax.dynamic_slice_in_dim(rep, k // 2, F1, axis=0)
-        cand, score = up(cand), up(score)
     return jnp.concatenate([cand.reshape(-1), score.reshape(-1)])
 
 
 harvest_device_stages_batch = jax.jit(
-    jax.vmap(lambda x, m, geo, chunk: harvest_device_stages(
-        x, m, geo=geo, chunk=chunk), in_axes=(0, 0, None, None)),
-    static_argnums=(2, 3))
+    jax.vmap(lambda x, m, geo, chunk, grid: harvest_device_stages(
+        x, m, geo=geo, chunk=chunk, grid=grid),
+        in_axes=(0, 0, None, None, None)),
+    static_argnums=(2, 3, 4))
 
 
 @functools.partial(jax.jit, static_argnames=("geo", "n_out", "chunk",
@@ -891,14 +894,18 @@ def harvest_device_full(x, mean_y, *, geo, n_out, chunk=64, use_refine=None):
     Extends `harvest_device_stages` with the device contour chain
     (analysis.contour_device), so a batch costs ONE dispatch and the
     download is the F0 vector itself (vs the [F, S] candidate slab — 600x
-    less transfer; the host contour path remains for f64 parity)."""
+    less transfer; the host contour path remains for f64 parity).  The
+    contour chain runs on the stages' k ms grid (see harvest_device_stages)
+    and fix_and_smooth subsamples it to the output frame grid."""
     from worldtpu.analysis import contour_device as CDV
     flat = harvest_device_stages(x, mean_y, geo=geo, chunk=chunk,
                                  use_refine=use_refine)
-    F, S = geo.f0_length, geo.max_candidates
+    k = _grid_for(x.dtype)
+    F, S = geo.with_grid(k).f0_length, geo.max_candidates
     cand = flat[:F * S].reshape(F, S)
     score = flat[F * S:].reshape(F, S)
-    return CDV.fix_and_smooth(cand, score, n_out, geo.frame_period)
+    return CDV.fix_and_smooth(cand, score, n_out, geo.frame_period,
+                              grid_ms=k)
 
 
 harvest_device_full_batch = jax.jit(
@@ -961,21 +968,21 @@ class HarvestKernel:
             return f0, tpos
         flat = np.asarray(harvest_device_stages(
             x, jnp.asarray(mean_y, dtype), geo=g, chunk=chunk))
-        return self._finish(flat)
+        return self._finish(flat, _grid_for(dtype))
 
-    def _finish(self, flat):
-        g = self.geo
+    def _finish(self, flat, k=1):
+        g = self.geo.with_grid(k)
         F, S = g.f0_length, g.max_candidates
         cand_h = flat[:F * S].reshape(F, S).astype(np.float64)
         score_h = flat[F * S:].reshape(F, S).astype(np.float64)
-        best = contour.fix_f0_contour(cand_h, score_h)
-        f0_1ms = contour.smooth_f0_contour(best)
+        best = contour.fix_f0_contour(cand_h, score_h, grid_ms=k)
+        f0_grid = contour.smooth_f0_contour(best)
 
         n_out = self.get_samples()
         tpos = np.arange(n_out) * g.frame_period / 1000.0
         pick = np.minimum(g.f0_length - 1,
-                          _matlab_round_np(tpos * 1000.0))
-        return f0_1ms[pick], tpos
+                          _matlab_round_np(tpos * (1000.0 / k)))
+        return f0_grid[pick], tpos
 
     def _auto_contour(self, contour_on):
         # the device contour's static section layout is O(F^2/7) memory;
@@ -1009,14 +1016,15 @@ class HarvestKernel:
                 x_batch, mean, g, n_out, chunk)).astype(np.float64)
             tpos = np.arange(n_out) * g.frame_period / 1000.0
             return [(f0s[i], tpos) for i in range(x_batch.shape[0])]
-        out = harvest_device_stages_batch(x_batch, mean, g, chunk)
+        k = _grid_for(dtype)
+        out = harvest_device_stages_batch(x_batch, mean, g, chunk, None)
         if transfer_dtype is not None:
             out = jnp.clip(
                 out, 0.0, float(jnp.finfo(transfer_dtype).max)
             ).astype(transfer_dtype)
         flat = np.asarray(jnp.ravel(out)).astype(np.float64)
-        n = 2 * g.f0_length * g.max_candidates
-        return [self._finish(flat[i * n:(i + 1) * n])
+        n = 2 * g.with_grid(k).f0_length * g.max_candidates
+        return [self._finish(flat[i * n:(i + 1) * n], k)
                 for i in range(x_batch.shape[0])]
 
     def compute_corpus(self, batches, dtype=jnp.float32, chunk=32,
@@ -1044,12 +1052,13 @@ class HarvestKernel:
                 for i in range(f0s.shape[0]):
                     yield f0s[i], tpos
             return
-        n = 2 * g.f0_length * g.max_candidates
+        k = _grid_for(dtype)
+        n = 2 * g.with_grid(k).f0_length * g.max_candidates
         pending = None
         for xb in batches:
             xb = jnp.asarray(xb, dtype)
             mean = jnp.zeros((xb.shape[0],), dtype)
-            out = harvest_device_stages_batch(xb, mean, g, chunk)
+            out = harvest_device_stages_batch(xb, mean, g, chunk, None)
             if transfer_dtype is not None:
                 out = jnp.clip(
                     out, 0.0, float(jnp.finfo(transfer_dtype).max)
@@ -1058,9 +1067,9 @@ class HarvestKernel:
             if pending is not None:
                 flat = np.asarray(pending).astype(np.float64)
                 for i in range(flat.shape[0] // n):
-                    yield self._finish(flat[i * n:(i + 1) * n])
+                    yield self._finish(flat[i * n:(i + 1) * n], k)
             pending = out
         if pending is not None:
             flat = np.asarray(pending).astype(np.float64)
             for i in range(flat.shape[0] // n):
-                yield self._finish(flat[i * n:(i + 1) * n])
+                yield self._finish(flat[i * n:(i + 1) * n], k)

@@ -101,7 +101,9 @@ class LongHarvest:
         for b0 in range(0, n_chunks, max_batch):
             xb = jnp.asarray(rows[b0:b0 + max_batch], dtype)
             mean = jnp.zeros((xb.shape[0],), dtype)
-            out = harvest_device_stages_batch(xb, mean, g, chunk)
+            # grid pinned to 1 ms: chunk stitching joins frame ranges on
+            # the reference grid (GRID_MS applies to the batched pipeline)
+            out = harvest_device_stages_batch(xb, mean, g, chunk, 1)
             flat_rows.append(np.asarray(out).astype(np.float64))
         flat = np.concatenate(flat_rows, axis=0)     # [n_chunks, 2*F_c*S]
 

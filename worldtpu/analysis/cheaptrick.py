@@ -21,7 +21,7 @@ import jax
 import jax.numpy as jnp
 
 from worldtpu import constants as C
-from worldtpu.ops import filters, trig
+from worldtpu.ops import dft, filters, trig
 from worldtpu.ops.fftutil import fft_size_for_cheaptrick, f0_floor_for_cheaptrick
 
 
@@ -100,7 +100,7 @@ def cheaptrick_frames(x, f0, temporal_positions, *, fs, fft_size,
     wave = jnp.where(in_win, wave, 0.0)
 
     # ---- power spectrum + DC correction (:198-218) ----
-    spec = jnp.fft.rfft(wave, n=fft_size, axis=-1)
+    spec = dft.rfft(wave, n=fft_size)
     power = (spec.real * spec.real + spec.imag * spec.imag).astype(dt)
     if dt == jnp.float64:   # parity path: literal per-frame rounding
         power = jax.vmap(
@@ -145,8 +145,8 @@ def cheaptrick_frames(x, f0, temporal_positions, *, fs, fft_size,
     logp = jnp.log(power)
     # mirror indices 1..fft/2-1 reversed into the upper half (reference :258)
     mirrored = jnp.concatenate([logp, logp[:, 1:-1][:, ::-1]], -1)
-    ceps = jnp.fft.rfft(mirrored, axis=-1).real
-    env = jnp.fft.irfft(ceps * lifter, n=fft_size, axis=-1)[:, :K]
+    ceps = dft.rfft_real(mirrored)   # real-even input: transform is real
+    env = dft.irfft(ceps * lifter, n=fft_size)[:, :K]
     return jnp.exp(env)
 
 

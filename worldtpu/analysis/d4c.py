@@ -20,7 +20,7 @@ import jax
 import jax.numpy as jnp
 
 from worldtpu import constants as C
-from worldtpu.ops import filters, trig
+from worldtpu.ops import dft, filters, trig
 from worldtpu.ops.interp import interp1
 
 
@@ -71,7 +71,7 @@ def love_train_ap0(x, f0, temporal_positions, *, fs, lt_dither=None):
     f0lt = jnp.maximum(f0, 40.0)
     wave_lt = _windowed_waveform(x, f0lt, pos, fs, C.BLACKMAN, 3.0,
                                  max_half_lt, dt, dither=lt_dither)
-    spec_lt = jnp.fft.rfft(wave_lt, n=fft_lt, axis=-1)
+    spec_lt = dft.rfft(wave_lt, n=fft_lt)
     ps_lt = (spec_lt.real ** 2 + spec_lt.imag ** 2).astype(dt)
     b0 = int(math.ceil(100.0 * fft_lt / fs))
     b1 = int(math.ceil(4000.0 * fft_lt / fs))
@@ -237,7 +237,7 @@ def d4c_frames(x, f0, temporal_positions, *, fs, fft_size_out, threshold=0.85,
                                  max_half_lt, dt, frame_seg=fseg_lt,
                                  seg_origin=seg_origin, seg_pad=pad_lt,
                                  dither=lt_dither, aligned=True)
-    spec_lt = jnp.fft.rfft(wave_lt, n=fft_lt, axis=-1)
+    spec_lt = dft.rfft(wave_lt, n=fft_lt)
     ps_lt = (spec_lt.real ** 2 + spec_lt.imag ** 2).astype(dt)
     b0 = int(math.ceil(100.0 * fft_lt / fs))
     b1 = int(math.ceil(4000.0 * fft_lt / fs))
@@ -260,9 +260,9 @@ def d4c_frames(x, f0, temporal_positions, *, fs, fft_size_out, threshold=0.85,
                                seg_pad=pad_c, dither=dither)
         power = jnp.sqrt(jnp.sum(w * w, -1, keepdims=True))
         w = w / power
-        s1 = jnp.fft.rfft(w, n=fft_d4c, axis=-1)
+        s1 = dft.rfft(w, n=fft_d4c)
         ramp = jnp.arange(1, ramp_w + 1, dtype=dt)
-        s2 = jnp.fft.rfft(w * ramp[None, :], n=fft_d4c, axis=-1)
+        s2 = dft.rfft(w * ramp[None, :], n=fft_d4c)
         return (s1.real * s2.real + s1.imag * s2.imag).astype(dt)
 
     def centroid_shifted(at, half_c):
@@ -304,8 +304,8 @@ def d4c_frames(x, f0, temporal_positions, *, fs, fft_size_out, threshold=0.85,
             pad = fft_d4c - tail.shape[1]
             return v[:, :fft_d4c] + jnp.pad(tail, ((0, 0), (0, pad)))
 
-        s1 = jnp.fft.rfft(wrap(w), n=fft_d4c, axis=-1)
-        s2 = jnp.fft.rfft(wrap(w * i_c.astype(dt)), n=fft_d4c, axis=-1)
+        s1 = dft.rfft(wrap(w), n=fft_d4c)
+        s2 = dft.rfft(wrap(w * i_c.astype(dt)), n=fft_d4c)
         base = s1.real * s2.real + s1.imag * s2.imag
         delta = (half_c - d_f - max_half_c - pad_c + 1).astype(dt)
         p1 = s1.real * s1.real + s1.imag * s1.imag
@@ -333,7 +333,7 @@ def d4c_frames(x, f0, temporal_positions, *, fs, fft_size_out, threshold=0.85,
                                 max_half_c, dt, frame_seg=fseg_c,
                                 seg_origin=seg_origin, seg_pad=pad_c,
                                 dither=h_dither, aligned=True)
-    spec_h = jnp.fft.rfft(wave_h, n=fft_d4c, axis=-1)
+    spec_h = dft.rfft(wave_h, n=fft_d4c)
     sps = (spec_h.real ** 2 + spec_h.imag ** 2).astype(dt)
     sps = dc_corr(sps)
     max_b = int(1.2 * f0_ceil_bound * fft_d4c / fs) + 2
@@ -367,7 +367,7 @@ def d4c_frames(x, f0, temporal_positions, *, fs, fft_size_out, threshold=0.85,
     seg = jnp.stack(
         [sgd[:, c - half_w:c - half_w + window_length] for c in centers],
         axis=1) * nuttall[None, None, :]                      # [F, B, Wl]
-    spec_b = jnp.fft.rfft(seg, n=fft_d4c, axis=-1)            # [F,B,Kd]
+    spec_b = dft.rfft(seg, n=fft_d4c)                # [F,B,Kd]
     ps_b = (spec_b.real ** 2 + spec_b.imag ** 2).astype(dt)
     if dt == jnp.float64:
         # parity path: the reference's literal sort + ascending cumsum

@@ -364,7 +364,9 @@ def _conv_matmul_bank(geo, lo, hi, Lg):
     kb = kp[:, np.where(valid, t, T)]            # [nbg, 128W, 128]
     kb = np.ascontiguousarray(kb.transpose(1, 2, 0)).reshape(
         128 * W, 128 * nbg)
-    return W, jax.device_put(kb)
+    # numpy, NOT device_put: built at trace time (a device_put here would
+    # cache a tracer that leaks into later traces); embeds as a constant
+    return W, kb
 
 
 def _band_filter_matmul(ym, geo, dt, lo=0, hi=None, Lg=None):

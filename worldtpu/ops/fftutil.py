@@ -56,8 +56,9 @@ def minimum_phase(log_amplitude):
     # the mirrored log spectrum is real and even, so its cepstrum is real:
     # irfft(half) == ifft(mirror(half)), and after causal folding the
     # spectrum is rfft(folded) — two REAL transforms instead of two complex
-    cep = jnp.fft.irfft(log_amplitude, n=n, axis=-1)
+    from worldtpu.ops import dft
+    cep = dft.irfft(log_amplitude, n=n)
     scale = jnp.concatenate([
         jnp.ones((1,)), 2.0 * jnp.ones((n // 2 - 1,)),
         jnp.ones((1,)), jnp.zeros((n // 2 - 1,))]).astype(cep.dtype)
-    return jnp.exp(jnp.fft.rfft(cep * scale, axis=-1))
+    return jnp.exp(dft.rfft(cep * scale))

@@ -25,6 +25,7 @@ import jax
 import jax.numpy as jnp
 
 from worldtpu import constants as C
+from worldtpu.ops import dft
 from worldtpu.ops.fftutil import minimum_phase
 from worldtpu.ops.interp import interp1
 from worldtpu.ops import trig
@@ -171,11 +172,11 @@ def pulse_responses(pt, shift, ns, vuv_at, valid, spectrogram,
     nz = noise.astype(dt) * nmask
     nmean = jnp.sum(nz, -1, keepdims=True) / jnp.maximum(ns, 1)[:, None]
     nz = jnp.where(nmask, nz - nmean, 0.0)
-    nspec = jnp.fft.rfft(nz, axis=-1)
+    nspec = dft.rfft(nz)
 
-    both = jnp.fft.irfft(
+    both = dft.irfft(
         jnp.concatenate([mp_per * phase, mp_ap * nspec], axis=0),
-        n=fft_size, axis=-1) * fft_size
+        n=fft_size) * fft_size
     both = jnp.roll(both, half, axis=-1)  # fftshift
     per, aper = both[:P], both[P:]
     dc = jnp.sum(per[:, half:], axis=-1, keepdims=True)

@@ -324,20 +324,12 @@ def _conv_groups(geo):
     return groups
 
 
-@functools.lru_cache(maxsize=32)
-def _conv_matmul_bank(geo, lo, hi, Lg):
-    """Shifted-kernel bank for the blocked-Toeplitz matmul form of the band
-    filter conv: K'[c1, q*Nbg + b] = kern[b, c1 - q] (0 <= c1-q < T, else 0)
-    with T = 2*Lg+1 taps, c1 < 128*W, q < 128.  Then for blocks
-    Bm[p, c1] = ypad[128p + c1] the product Bm @ K' yields every output
-    sample out[128p+q, b] = sum_t ypad[128p+q+t] kern[b, t] exactly — the
-    same correlation conv_general_dilated computes, but as ONE large MXU
-    matmul (the 1-input-channel conv lowers ~100x off the MXU roofline).
-    Returns (W, device K' [128W, 128*Nbg]) cached per (geo, group).
-
-    Pure numpy (called at trace time under omnistaging, where jnp ops
-    would stage instead of fold): mirrors _bandpass_kernels exactly."""
-    Lk = geo.max_filter_half if Lg is None else Lg
+def _bandpass_kernels_np(geo, lo=0, hi=None, Lk=None):
+    """numpy twin of _bandpass_kernels (trace-time use, where jnp ops
+    would stage under omnistaging instead of folding)."""
+    if hi is None:
+        hi = geo.n_channels
+    Lk = geo.max_filter_half if Lk is None else Lk
     j = np.arange(2 * Lk + 1)
     halves = np.asarray([_matlab_round_py(geo.actual_fs / b * 2.0)
                          for b in geo.boundary_f0[lo:hi]],
@@ -351,9 +343,22 @@ def _conv_matmul_bank(geo, lo, hi, Lg):
            + 0.144232 * np.cos(4.0 * np.float32(C.PI) * tpos_w)
            - 0.012604 * np.cos(6.0 * np.float32(C.PI) * tpos_w))
     t_s = (m / geo.actual_fs).astype(np.float32)
-    kern = np.where(
+    return np.where(
         in_f, (win * np.cos(2.0 * np.float32(C.PI) * bounds * t_s)
                ).astype(np.float32), np.float32(0.0))
+
+
+def _bank_from_kern_np(kern):
+    """Shifted-kernel bank for the blocked-Toeplitz matmul form of the band
+    filter conv: K'[c1, q*Nbg + b] = kern[b, c1 - q] (0 <= c1-q < T, else 0)
+    with T taps, c1 < 128*W, q < 128.  Then for blocks
+    Bm[p, c1] = ypad[128p + c1] the product Bm @ K' yields every output
+    sample out[128p+q, b] = sum_t ypad[128p+q+t] kern[b, t] exactly — the
+    same correlation conv_general_dilated computes, but as ONE large MXU
+    matmul (the 1-input-channel conv lowers ~100x off the MXU roofline).
+    Returns (W, np K' [128W, 128*Nbg]) — numpy, NOT device_put: built at
+    trace time (a device_put here would cache a tracer that leaks into
+    later traces); embeds as a constant."""
     nbg, T = kern.shape
     W = -(-(T + 127) // 128)                     # c1 = q + t <= 127 + T - 1
     c1 = np.arange(128 * W)[:, None]
@@ -364,22 +369,20 @@ def _conv_matmul_bank(geo, lo, hi, Lg):
     kb = kp[:, np.where(valid, t, T)]            # [nbg, 128W, 128]
     kb = np.ascontiguousarray(kb.transpose(1, 2, 0)).reshape(
         128 * W, 128 * nbg)
-    # numpy, NOT device_put: built at trace time (a device_put here would
-    # cache a tracer that leaks into later traces); embeds as a constant
     return W, kb
 
 
-def _band_filter_matmul(ym, geo, dt, lo=0, hi=None, Lg=None):
-    """Band filter bank [Nbg, y_length] as a blocked-Toeplitz matmul (see
-    _conv_matmul_bank).  Same centered-correlation alignment as the conv
+@functools.lru_cache(maxsize=32)
+def _conv_matmul_bank(geo, lo, hi, Lg):
+    """Cached (W, K') for a contiguous band group (see _bank_from_kern_np)."""
+    return _bank_from_kern_np(_bandpass_kernels_np(geo, lo, hi, Lg))
+
+
+def _band_filter_matmul_kb(ym, kb, W, Lg, y_len, dt):
+    """Apply a shifted-kernel bank (device or np) to one signal: returns
+    [Nbg, y_length].  Same centered-correlation alignment as the conv
     path: ypad = pad(ym, (Lg-1, Lg+1)) and out[n] = corr at lag n+1."""
-    if hi is None:
-        hi = geo.n_channels
-    if Lg is None:
-        Lg = geo.max_filter_half
-    nbg = hi - lo
-    W, kb = _conv_matmul_bank(geo, lo, hi, Lg)
-    y_len = geo.y_length
+    nbg = kb.shape[1] // 128
     P = -(-y_len // 128)
     ypad = jnp.pad(ym, (Lg - 1, 128 * (P + W) - y_len - 2 * Lg + Lg + 1))
     blocks = ypad.reshape(P + W, 128)
@@ -389,6 +392,17 @@ def _band_filter_matmul(ym, geo, dt, lo=0, hi=None, Lg=None):
                   precision=CONV_MM_PRECISION)    # [P, 128*nbg]
     out = out.reshape(P, 128, nbg).reshape(P * 128, nbg)
     return out[:y_len].T                          # [nbg, y_len]
+
+
+def _band_filter_matmul(ym, geo, dt, lo=0, hi=None, Lg=None):
+    """Band filter bank [Nbg, y_length] for a contiguous band group as a
+    blocked-Toeplitz matmul (see _bank_from_kern_np)."""
+    if hi is None:
+        hi = geo.n_channels
+    if Lg is None:
+        Lg = geo.max_filter_half
+    W, kb = _conv_matmul_bank(geo, lo, hi, Lg)
+    return _band_filter_matmul_kb(ym, kb, W, Lg, geo.y_length, dt)
 
 
 def _band_filter_fft(y_spectrum, boundary_f0, filter_half, geo, dt):

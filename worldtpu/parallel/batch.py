@@ -154,15 +154,29 @@ def batch_harvest_device_stages(x, *, geo, mesh, chunk=32, use_zc=None):
     fl = -(-F // nt)
     dt = x.dtype
 
-    kern = _hv._bandpass_kernels(geo, dt)               # [Nb, taps]
-    bounds = jnp.asarray(geo.boundary_f0, dt)
     padb = nt * nbl - Nb
-    kern = jnp.pad(kern, ((0, padb), (0, 0)))
-    bounds = jnp.pad(bounds, (0, padb), constant_values=1.0)
+    bounds = jnp.pad(jnp.asarray(geo.boundary_f0, dt), (0, padb),
+                     constant_values=1.0)
     # stratified interleave: shard t row j <-> global band t + j*nt
     order = (jnp.arange(nt)[:, None] + jnp.arange(nbl)[None, :] * nt)
-    kern_i = kern[order.reshape(-1)].reshape(nt, nbl, -1)
     bounds_i = bounds[order.reshape(-1)].reshape(nt, nbl)
+    Lmax = geo.max_filter_half
+    if _hv.CONV_MODE == "matmul":
+        # per-shard shifted-kernel banks (blocked-Toeplitz matmul form;
+        # see harvest._bank_from_kern_np) as a 'time'-sharded operand —
+        # padded bands get zero kernel rows, same as the conv path
+        kern_np = _hv._bandpass_kernels_np(geo)         # [Nb, taps]
+        kern_np = np.pad(kern_np, ((0, padb), (0, 0)))
+        order_np = (np.arange(nt)[:, None] + np.arange(nbl)[None, :] * nt)
+        kern_np = kern_np[order_np.reshape(-1)].reshape(nt, nbl, -1)
+        banks = [_hv._bank_from_kern_np(kern_np[t]) for t in range(nt)]
+        Wb = banks[0][0]
+        kern_i = jnp.asarray(np.stack([kb for _, kb in banks]))
+        # [nt, 128W, 128*nbl]
+    else:
+        kern = jnp.pad(_hv._bandpass_kernels(geo, dt), ((0, padb), (0, 0)))
+        kern_i = kern[order.reshape(-1)].reshape(nt, nbl, -1)
+        Wb = None
 
     if use_zc is None:
         use_zc = _hv._use_zc_kernel_default()
@@ -179,15 +193,21 @@ def batch_harvest_device_stages(x, *, geo, mesh, chunk=32, use_zc=None):
         def one(xi):
             y = _hv.decimate_stage(xi, ratio=geo.ratio,
                                    y_length=geo.y_length)
-            ypad = jnp.pad(y, (geo.max_filter_half - 1,
-                               geo.max_filter_half + 1))
-            filt = jax.lax.conv_general_dilated(
-                ypad[None, None, :], kern_s[:, None, :],
-                window_strides=(1,), padding="VALID",
-                dimension_numbers=("NCW", "OIW", "NCW"),
-                # same precision as the single-chip candidates_stage so
-                # sharded == unsharded holds on real (MXU) hardware too
-                precision=jax.lax.Precision.DEFAULT)[0]  # [nbl, y_len]
+            if _hv.CONV_MODE == "matmul":
+                # same matmul form (and precision) as the single-chip
+                # candidates_stage so sharded == unsharded stays bitwise
+                filt = _hv._band_filter_matmul_kb(
+                    y, kern_s, Wb, Lmax, geo.y_length, dt)
+            else:
+                ypad = jnp.pad(y, (geo.max_filter_half - 1,
+                                   geo.max_filter_half + 1))
+                filt = jax.lax.conv_general_dilated(
+                    ypad[None, None, :], kern_s[:, None, :],
+                    window_strides=(1,), padding="VALID",
+                    dimension_numbers=("NCW", "OIW", "NCW"),
+                    # same precision as the single-chip candidates_stage so
+                    # sharded == unsharded holds on real (MXU) hardware too
+                    precision=jax.lax.Precision.DEFAULT)[0]  # [nbl, y_len]
             if use_zc:
                 raw_l = _zc.band_candidates_pallas(
                     filt, geo, bounds=bounds_s, groups=groups,

@@ -829,8 +829,12 @@ ZC_SWEEP = "kernel"
 
 #: Band-filter implementation for the f32 candidates path: "conv"
 #: (conv_general_dilated) or "matmul" (blocked-Toeplitz MXU matmul,
-#: _band_filter_matmul).  Env override: WORLDTPU_CONV.
-CONV_MODE = os.environ.get("WORLDTPU_CONV", "conv")
+#: _band_filter_matmul).  Env override: WORLDTPU_CONV.  Default measured
+#: on device (tools/ab.py, 8x3s 22 kHz batch): matmul 251.8 ms vs conv
+#: 274.7 ms per batch with bitwise-identical end-to-end F0 — the 1-input-
+#: channel conv lowers far off the MXU roofline, the blocked-Toeplitz
+#: matmul rides it.
+CONV_MODE = os.environ.get("WORLDTPU_CONV", "matmul")
 
 #: MXU precision for the blocked-Toeplitz band-filter matmul.  The matmul
 #: is cheap enough (~60 GFLOP/batch) that HIGHEST (f32-exact, recovers the

@@ -352,7 +352,11 @@ def d4c_frames(x, f0, temporal_positions, *, fs, fft_size_out, threshold=0.85,
         # overflows f32 when the coarse-band FFT squares it below.  1e12 is
         # 8+ orders above any valid value and 14 below f32 overflow.
         sgd = jnp.clip(sgd, -1e12, 1e12)
-    sgd = filters.linear_smoothing_frames(sgd, f0d / 2.0, fs, fft_d4c, max_b)
+    # this call smooths at width f0d/2, so its boundary bound (and with it
+    # the smoothing conv's tap count) is half the full-width calls'
+    max_b_half = int(0.6 * f0_ceil_bound * fft_d4c / fs) + 2
+    sgd = filters.linear_smoothing_frames(sgd, f0d / 2.0, fs, fft_d4c,
+                                          max_b_half)
     sgd_smooth = filters.linear_smoothing_frames(sgd, f0d, fs, fft_d4c, max_b)
     sgd = sgd - sgd_smooth
 

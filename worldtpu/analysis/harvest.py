@@ -825,7 +825,8 @@ REFINE_GP = 1
 
 #: zc merge-sweep location: "kernel" (in-kernel carried-window sweep) or
 #: "xla" (phase-1-only kernel + dense XLA sweep, zc_kernel._sweep_xla).
-ZC_SWEEP = "kernel"
+#: Env override: WORLDTPU_ZC_SWEEP.
+ZC_SWEEP = os.environ.get("WORLDTPU_ZC_SWEEP", "kernel")
 
 #: Band-filter implementation for the f32 candidates path: "conv"
 #: (conv_general_dilated) or "matmul" (blocked-Toeplitz MXU matmul,

@@ -471,7 +471,18 @@ def linear_smoothing_batch(power_spectra, widths, fs, fft_size, max_boundary):
     # positive accumulation: relative error ~eps regardless of dynamic
     # range, at the same FLOP count as the block-prefix form it replaces.
     dense = jnp.cumsum(kern[:, ::-1], axis=1)[:, ::-1]          # [N, Wk]
-    padded = jnp.pad(mirr, ((0, 0), (0, 4)))                    # [N, K+Wk]
+    # The taps' support is provably inside [mb/2 - 1, 3mb/2 + 3): with
+    # u in [b-1, b), B_lo + delta = int(b - 0.5 - u/2) + mb - b >= mb - b/2
+    # - 1 >= mb/2 - 1 and B_hi + delta + 1 <= mb + b/2 + 2 <= 3mb/2 + 2
+    # (b <= mb), and dense is zero outside the tap span (the 4 taps sum to
+    # zero, so the suffix cumsum vanishes below the lowest tap).  Slicing
+    # the kernel to that support halves the grouped conv's tap count —
+    # conv cost on TPU scales with taps (ROADMAP cost model) — with
+    # bitwise-identical output (the dropped taps are exact 0.0 summands).
+    s0 = max(mb // 2 - 2, 0)
+    Wk_s = Wk - s0 - max(mb // 2 - 2, 0)
+    dense = dense[:, s0:s0 + Wk_s]
+    padded = jnp.pad(mirr, ((0, 0), (0, 4)))[:, s0:s0 + K + Wk_s]
     conv = jax.lax.conv_general_dilated(
         padded[None], dense[:, None, :], window_strides=(1,),
         padding="VALID", dimension_numbers=("NCW", "OIW", "NCW"),

@@ -35,6 +35,7 @@ from __future__ import annotations
 
 import functools
 import math
+import os
 
 import jax
 import jax.numpy as jnp
@@ -100,7 +101,7 @@ def make_groups(geo, n_groups=5, stride=1):
 
 def _zc_group_kernel(filt_ref, out_ref, colbuf, cnt_smem, *,
                      y_length, stot, f_pad, e_cap, c_row, win, fs_a,
-                     n_frames_tiles, rb=1, grid_hz=1000.0):
+                     n_frames_tiles, rb=1, grid_hz=1000.0, paint=False):
     """``rb`` bands per grid cell.  filt_ref [rb, 128, Stot], out
     [rb, 8, Fpad] (row 0 of the middle dim carries each band's result; the
     8-row middle dim exists only to satisfy Mosaic's (8, 128)-divisible
@@ -254,20 +255,49 @@ def _zc_group_kernel(filt_ref, out_ref, colbuf, cnt_smem, *,
             x0s = jnp.where(jnp.isfinite(x0r), x0r, 0.0)
 
             ffw = jnp.ceil(locw[:wext] * grid_hz)
-            in_cmp = (subw >= off) & (subw < off + win)
-            cmp = in_cmp & (ffw <= fgrid)                   # [wext, 128]
-            nle = jb + jnp.sum(cmp.astype(jnp.int32), axis=0,
-                               keepdims=True, dtype=jnp.int32)  # [1, 128]
-            d = jnp.clip(nle, 1, seg_his[t]) - 1
-            oh = (subw + jb0) == d                          # [wext, 128]
-            A = jnp.sum(jnp.where(oh, y0r, 0.0), axis=0, keepdims=True)
-            X = jnp.sum(jnp.where(oh, x0s, 0.0), axis=0, keepdims=True)
-            B = jnp.sum(jnp.where(oh, slope, 0.0), axis=0, keepdims=True)
-            vals_sums[t // 4] = (vals_sums[t // 4]
-                                 + (A + (fgrid / grid_hz - X) * B))
-            # advance the window base
-            adv = jnp.sum(cmp[:, 127:128].astype(jnp.int32),
-                          dtype=jnp.int32)
+            if paint:
+                # paint formulation: the count+one-hot selection picks row
+                # d = clip(jb + #{ffw <= fgrid}, 1, seg_hi) - 1, which for
+                # sorted locations is exactly "the row whose frame interval
+                # [ffw_d, ffw_{d+1}) covers this lane" with the first/last
+                # valid rows extended to -inf/+inf (the clip's left/right
+                # extrapolation).  Painting that cover mask directly drops
+                # the int-count reduction and the equality one-hot; sorted
+                # intervals are disjoint, so exactly one row covers each
+                # lane and the masked sum IS the selected value (bitwise:
+                # one nonzero summand).
+                absrow = subw + jb0                         # [wext, 1]
+                ffw_nx = jnp.ceil(locw[1:wext + 1] * grid_hz)
+                s_d = jnp.where(absrow == 0, -1e9, ffw)
+                e_d = jnp.where(absrow >= seg_his[t] - 1,
+                                jnp.where(absrow == seg_his[t] - 1,
+                                          1e9, -1e9), ffw_nx)
+                cover = (fgrid >= s_d) & (fgrid < e_d)      # [wext, 128]
+                expr = y0r + (fgrid / grid_hz - x0s) * slope
+                vals_sums[t // 4] = vals_sums[t // 4] + jnp.sum(
+                    jnp.where(cover, expr, 0.0), axis=0, keepdims=True)
+                in_row = (subw >= off) & (subw < off + win)
+                fg_last = (128 * ft + 127).astype(dt)       # scalar
+                adv = jnp.sum(
+                    (in_row & (ffw <= fg_last)).astype(jnp.int32),
+                    dtype=jnp.int32)
+            else:
+                in_cmp = (subw >= off) & (subw < off + win)
+                cmp = in_cmp & (ffw <= fgrid)               # [wext, 128]
+                nle = jb + jnp.sum(cmp.astype(jnp.int32), axis=0,
+                                   keepdims=True,
+                                   dtype=jnp.int32)         # [1, 128]
+                d = jnp.clip(nle, 1, seg_his[t]) - 1
+                oh = (subw + jb0) == d                      # [wext, 128]
+                A = jnp.sum(jnp.where(oh, y0r, 0.0), axis=0, keepdims=True)
+                X = jnp.sum(jnp.where(oh, x0s, 0.0), axis=0, keepdims=True)
+                B = jnp.sum(jnp.where(oh, slope, 0.0), axis=0,
+                            keepdims=True)
+                vals_sums[t // 4] = (vals_sums[t // 4]
+                                     + (A + (fgrid / grid_hz - X) * B))
+                # advance the window base
+                adv = jnp.sum(cmp[:, 127:128].astype(jnp.int32),
+                              dtype=jnp.int32)
             jbn = jnp.maximum(jb + adv - 8, 0)
             jbn = jnp.minimum(jbn, jnp.maximum(n_locs[t] - 2, 0))
             jbn = jnp.minimum((jbn // 8) * 8, e_cap - win - 8)
@@ -286,7 +316,7 @@ def _zc_group_kernel(filt_ref, out_ref, colbuf, cnt_smem, *,
 
 
 def _zc_group_call(filt_T, *, y_length, stot, f_pad, e_cap, c_row, win,
-                   fs_a, interpret, rb=2, grid_hz=1000.0):
+                   fs_a, interpret, rb=2, grid_hz=1000.0, paint=False):
     nb = filt_T.shape[0]
     nbp = _round_up(nb, rb)
     if nbp != nb:
@@ -297,7 +327,7 @@ def _zc_group_call(filt_T, *, y_length, stot, f_pad, e_cap, c_row, win,
     kern = functools.partial(
         _zc_group_kernel, y_length=y_length, stot=stot, f_pad=f_pad,
         e_cap=e_cap, c_row=c_row, win=win, fs_a=fs_a,
-        n_frames_tiles=n_tiles, rb=rb, grid_hz=grid_hz)
+        n_frames_tiles=n_tiles, rb=rb, grid_hz=grid_hz, paint=paint)
     out = pl.pallas_call(
         kern,
         grid=(nbp // rb,),
@@ -526,8 +556,15 @@ def _sweep_xla(ev, ccol, *, geo, group, f_pad):
     return jnp.where(usable[:, None], cand, 0.0)
 
 
+#: A/B knobs (tools/ab.py): bands fused per grid cell, band-group count,
+#: and merge-sweep formulation (paint=1 -> interval-cover masked sum).
+_RB = int(os.environ.get("WORLDTPU_ZC_RB", "2"))
+_NGROUPS = int(os.environ.get("WORLDTPU_ZC_GROUPS", "5"))
+_PAINT = os.environ.get("WORLDTPU_ZC_PAINT", "0") == "1"
+
+
 def band_candidates_pallas(filt, geo, *, bounds=None, groups=None,
-                           interpret=False, rb=2, sweep="kernel"):
+                           interpret=False, rb=None, sweep="kernel"):
     """Raw candidate contours [nb, F] from band-filtered signals [nb, L].
 
     Drop-in replacement for vmap(_band_candidates) over the filter bank
@@ -536,8 +573,10 @@ def band_candidates_pallas(filt, geo, *, bounds=None, groups=None,
     overridable so a band-parallel shard can run its strided subset."""
     nb, y_len = filt.shape
     assert y_len == geo.y_length
+    if rb is None:
+        rb = _RB
     if groups is None:
-        groups = make_groups(geo)
+        groups = make_groups(geo, n_groups=_NGROUPS)
     if bounds is None:
         bounds = jnp.asarray(geo.boundary_f0, jnp.float32)
     F = geo.f0_length
@@ -561,7 +600,7 @@ def band_candidates_pallas(filt, geo, *, bounds=None, groups=None,
                 filt_T[g.lo:g.hi], y_length=y_len, stot=stot, f_pad=f_pad,
                 e_cap=g.e_cap, c_row=g.c_row, win=g.win,
                 fs_a=float(geo.actual_fs), interpret=interpret, rb=rb,
-                grid_hz=1000.0 / geo.grid_ms)
+                grid_hz=1000.0 / geo.grid_ms, paint=_PAINT)
             outs.append(raw[:, 0, :F])
     cand = jnp.concatenate(outs, axis=0)                 # [nb, F] means
 

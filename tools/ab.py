@@ -95,9 +95,14 @@ def main():
     f0_np = np.asarray(f0[0], np.float64)
     combo = {k: v for k, v in os.environ.items()
              if k.startswith("WORLDTPU_")} or {"default": "1"}
+    ref_src = "cache"
     if not REF_F0.exists():
         if combo == {"default": "1"}:
             np.save(REF_F0, f0_np)
+        else:
+            # no cached default-knob reference: the comparison below would
+            # be against itself and read as spuriously quality-neutral
+            ref_src = "self (run the default combo first to cache a ref)"
         ref = f0_np
     else:
         ref = np.load(REF_F0)
@@ -112,6 +117,7 @@ def main():
         "rtf": round(audio_s / wall, 1),
         "f0_rmse_hz_vs_default": round(rmse, 4),
         "vuv_vs_default": round(vuv, 4),
+        "ref": ref_src,
     }))
 
 

@@ -34,7 +34,6 @@ from __future__ import annotations
 
 import functools
 import math
-import os
 
 import jax
 import jax.numpy as jnp
@@ -42,6 +41,7 @@ import numpy as np
 
 from worldtpu import constants as C
 from worldtpu.analysis import contour
+from worldtpu.flags import FLAGS
 from worldtpu.ops import filters
 from worldtpu.ops.fftutil import get_suitable_fft_size
 from worldtpu.ops.interp import interp1
@@ -503,20 +503,11 @@ def _overlap_candidates(base):
     return jnp.stack(layers, axis=1).reshape(F, 7 * cb)
 
 
-def _kernel_env(name):
-    """Env override for a Pallas-kernel default: '0' disables, '1' forces,
-    'interpret' selects interpret mode; unset -> None (backend default)."""
-    v = os.environ.get(name)
-    if v is None:
-        return None
-    return {"0": False, "1": True}.get(v, v)
-
-
 def _use_zc_kernel_default():
     """The Pallas event kernel is the production path on TPU; the jnp
     scatter path remains for CPU (tests) and as a fallback.  Env override:
-    WORLDTPU_ZC=0|1|interpret."""
-    env = _kernel_env("WORLDTPU_ZC")
+    WORLDTPU_ZC=0|1|interpret (parsed by worldtpu.flags)."""
+    env = FLAGS.zc
     if env is not None:
         return env
     return jax.default_backend() == "tpu"
@@ -810,7 +801,7 @@ def _use_refine_kernel_default():
     """The Pallas adaptive refine kernel is the production path on TPU; the
     dense jnp chunked path remains for CPU (tests) and f64 parity.  Env
     override: WORLDTPU_REFINE=0|1|interpret."""
-    env = _kernel_env("WORLDTPU_REFINE")
+    env = FLAGS.refine
     if env is not None:
         return env
     return jax.default_backend() == "tpu"
@@ -823,34 +814,16 @@ REFINE_DEDUP_TOL = 0.004
 #: Pallas refine fused-group-chain count (refine_stage_pallas gp).
 REFINE_GP = 1
 
-#: zc merge-sweep location: "kernel" (in-kernel carried-window sweep) or
-#: "xla" (phase-1-only kernel + dense XLA sweep, zc_kernel._sweep_xla).
-#: Env override: WORLDTPU_ZC_SWEEP.
-ZC_SWEEP = os.environ.get("WORLDTPU_ZC_SWEEP", "kernel")
-
-#: Band-filter implementation for the f32 candidates path: "conv"
-#: (conv_general_dilated) or "matmul" (blocked-Toeplitz MXU matmul,
-#: _band_filter_matmul).  Env override: WORLDTPU_CONV.  Default measured
-#: on device (tools/ab.py, 8x3s 22 kHz batch): matmul 251.8 ms vs conv
-#: 274.7 ms per batch with bitwise-identical end-to-end F0 — the 1-input-
-#: channel conv lowers far off the MXU roofline, the blocked-Toeplitz
-#: matmul rides it.
-CONV_MODE = os.environ.get("WORLDTPU_CONV", "matmul")
-
-#: MXU precision for the blocked-Toeplitz band-filter matmul.  The matmul
-#: is cheap enough (~60 GFLOP/batch) that HIGHEST (f32-exact, recovers the
-#: bf16 conv's 0.007 Hz F0-RMSE jitter) may be affordable — A/B on device.
-CONV_MM_PRECISION = {
-    "default": jax.lax.Precision.DEFAULT,
-    "high": jax.lax.Precision.HIGH,
-    "highest": jax.lax.Precision.HIGHEST,
-}[os.environ.get("WORLDTPU_CONV_PRECISION", "default")]
-
-#: Internal candidate/refine grid period in ms for the f32 production
-#: path (1 = the reference's grid; 2 halves per-frame stage cost, with
-#: the contour chain still fixed/smoothed on the 1 ms grid).  Env
-#: override: WORLDTPU_GRID_MS.
-GRID_MS = int(os.environ.get("WORLDTPU_GRID_MS", "1"))
+#: Implementation-selector knobs, initialized from the validated central
+#: registry (worldtpu.flags — one place for supported values, A/B'd
+#: defaults, and the measurements that chose them).  These module names
+#: stay mutable for tests that monkey-toggle a knob around a CPU call;
+#: production processes set the environment before import (see the
+#: worldtpu.flags docstring for why binding is at import time).
+ZC_SWEEP = FLAGS.zc_sweep
+CONV_MODE = FLAGS.conv
+CONV_MM_PRECISION = FLAGS.conv_precision
+GRID_MS = FLAGS.grid_ms
 
 
 def _grid_for(dtype, grid=None):
@@ -906,6 +879,14 @@ harvest_device_stages_batch = jax.jit(
         in_axes=(0, 0, None, None, None)),
     static_argnums=(2, 3, 4))
 
+#: batched stages with an explicit refine-kernel selector (tests exercise
+#: the Pallas refine in interpret mode through this)
+harvest_device_stages_batch_refine = jax.jit(
+    jax.vmap(lambda x, m, geo, chunk, use_refine: harvest_device_stages(
+        x, m, geo=geo, chunk=chunk, use_refine=use_refine),
+        in_axes=(0, 0, None, None, None)),
+    static_argnums=(2, 3, 4))
+
 
 @functools.partial(jax.jit, static_argnames=("geo", "n_out", "chunk",
                                              "use_refine"))
@@ -934,6 +915,46 @@ harvest_device_full_batch = jax.jit(
         x, m, geo=geo, n_out=n_out, chunk=chunk),
         in_axes=(0, 0, None, None, None)),
     static_argnums=(2, 3, 4))
+
+
+class ZcCapacityError(RuntimeError):
+    """A band signal exceeded the zc kernel's crossing-rate capacity model
+    (event buffer / column / sweep window) — candidates for the affected
+    bands may be silently corrupted.  See zc_kernel.capacity_violations."""
+
+
+@functools.partial(jax.jit, static_argnames=("geo",))
+def zc_capacity_violations_batch(x, *, geo):
+    """[B, 3] violation counts of the zc kernel's capacity model for each
+    utterance (see zc_kernel.capacity_violations): one cheap extra
+    dispatch (decimate + filter bank + dense mask reductions) that callers
+    run beside the kernel to detect pathological signals instead of
+    silently clamping.  Reference analog: harvest.cpp:85-98 preallocates
+    the same worst case and would overrun instead of detecting."""
+    from worldtpu.ops import zc_kernel
+
+    k = _grid_for(x.dtype)
+    geo_k = geo.with_grid(k)
+
+    def one(xi):
+        y = decimate_stage(xi, ratio=geo.ratio, y_length=geo.y_length)
+        parts = []
+        for lo, hi, Lg in _conv_groups(geo_k):
+            if CONV_MODE == "matmul":
+                parts.append(_band_filter_matmul(y, geo_k, y.dtype, lo,
+                                                 hi, Lg))
+            else:
+                kern = _bandpass_kernels(geo_k, y.dtype, lo, hi, Lg)
+                ypad = jnp.pad(y, (Lg - 1, Lg + 1))
+                parts.append(jax.lax.conv_general_dilated(
+                    ypad[None, None, :], kern[:, None, :],
+                    window_strides=(1,), padding="VALID",
+                    dimension_numbers=("NCW", "OIW", "NCW"),
+                    precision=jax.lax.Precision.DEFAULT)[0])
+        filt = jnp.concatenate(parts, axis=0)
+        return zc_kernel.capacity_violations(filt, geo_k)
+
+    return jax.vmap(one)(x)
 
 
 # ---------------------------------------------------------------------------
@@ -1014,7 +1035,8 @@ class HarvestKernel:
         return contour_on
 
     def compute_batch(self, x_batch, dtype=jnp.float32, chunk=32,
-                      transfer_dtype=None, contour_on=None):
+                      transfer_dtype=None, contour_on=None,
+                      check_capacity=False):
         """Batched Harvest over [B, T] same-length utterances: one device
         dispatch + one transfer for the whole batch.
 
@@ -1026,11 +1048,26 @@ class HarvestKernel:
         host-path candidate/score download — halves transfer bytes at the
         cost of ~5e-4 relative F0 quantization (still far under the 1 Hz
         accuracy target; scores above the f16 range saturate, which only
-        reorders near-ties)."""
+        reorders near-ties).
+
+        check_capacity: also run zc_capacity_violations_batch and raise
+        ZcCapacityError if any band signal exceeds the zc kernel's
+        crossing-rate capacity model (pathological inputs otherwise clamp
+        silently; ~2% extra device work)."""
         g = self.geo
         contour_on = self._auto_contour(contour_on)
         x_batch = jnp.asarray(x_batch, dtype)
         mean = jnp.zeros((x_batch.shape[0],), dtype)
+        if check_capacity and dtype != jnp.float64:
+            v = np.asarray(zc_capacity_violations_batch(x_batch, geo=g))
+            if v.any():
+                bad = np.nonzero(v.sum(axis=1))[0].tolist()
+                raise ZcCapacityError(
+                    f"zc capacity model exceeded for utterances {bad}: "
+                    f"(event, column, window) violation counts "
+                    f"{v[bad].tolist()} — the input's band-limited "
+                    f"crossing rate is outside Harvest's physical model "
+                    f"(is the signal a full-band chirp or noise burst?)")
         if contour_on == "device":
             n_out = self.get_samples()
             f0s = np.asarray(harvest_device_full_batch(

@@ -1,0 +1,152 @@
+"""Central registry for the WORLDTPU_* runtime tuning knobs.
+
+Every knob the production path reads lives here: one place to see the
+supported values, the A/B'd default, and the measurement that chose it
+(tools/ab.py on the config-5 corpus stream, 8x3s 22.05 kHz batches on a
+v5e chip — see ROADMAP.md for the per-round measurement logs).
+
+Binding is at IMPORT time, deliberately: the knobs select compiled-program
+structure (kernel shapes, loop layouts, matmul forms), and the jitted entry
+points cache on their static arguments only — a knob that changed under a
+warm jit cache would silently return stale programs.  Processes must set
+the environment before importing worldtpu (tests that sweep combinations
+either spawn subprocesses or call the parameterized kernel APIs directly:
+``zc_kernel.band_candidates_pallas(..., rb=, groups=, sweep=)``).
+
+Reference analog: the option structs of
+/root/reference/include/{harvest,cheaptrick,d4c}.hpp hold the *algorithm*
+parameters (mirrored by worldtpu.api dataclasses); these flags are the
+*implementation* selectors the C++ build fixes at compile time instead
+(OpenMP thread counts, -mavx, the FFT backend).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import os
+
+import jax
+
+
+class FlagError(ValueError):
+    """A WORLDTPU_* environment variable has an unsupported value."""
+
+
+def _choice(name, default, allowed):
+    v = os.environ.get(name, default)
+    if v not in allowed:
+        raise FlagError(f"{name}={v!r}: allowed values {sorted(allowed)}")
+    return v
+
+
+def _int_min(name, default, lo):
+    raw = os.environ.get(name, str(default))
+    try:
+        v = int(raw)
+    except ValueError:
+        raise FlagError(f"{name}={raw!r}: not an integer") from None
+    if v < lo:
+        raise FlagError(f"{name}={v}: must be >= {lo}")
+    return v
+
+
+def _kernel_switch(name):
+    """'0' = jnp twin, '1' = Pallas kernel, 'interpret' = Pallas interpret
+    mode, unset = backend default (TPU -> kernel, CPU -> jnp twin)."""
+    v = os.environ.get(name)
+    if v is None:
+        return None
+    if v not in ("0", "1", "interpret"):
+        raise FlagError(f"{name}={v!r}: allowed values ['0','1','interpret']")
+    return {"0": False, "1": True, "interpret": "interpret"}[v]
+
+
+_PRECISIONS = {
+    "default": jax.lax.Precision.DEFAULT,
+    "high": jax.lax.Precision.HIGH,
+    "highest": jax.lax.Precision.HIGHEST,
+}
+
+
+@dataclasses.dataclass(frozen=True)
+class Flags:
+    """Parsed + validated WORLDTPU_* knobs (see module docstring).
+
+    Defaults are the device-A/B winners; entries say when/why.
+    """
+
+    #: WORLDTPU_ZC: zero-crossing candidate stage — Pallas kernel vs jnp
+    #: twin (None = kernel on TPU, twin elsewhere).
+    zc: object = None
+
+    #: WORLDTPU_REFINE: refinement stage — Pallas kernel vs dense jnp.
+    refine: object = None
+
+    #: WORLDTPU_OLA: synthesis overlap-add — Pallas kernel vs jnp scatter.
+    ola: object = None
+
+    #: WORLDTPU_ZC_SWEEP: merge-sweep location for the zc kernel.
+    #: "kernel" = in-kernel carried-window sweep; "xla" = phase-1-only
+    #: kernel + dense XLA sweep.  r4 A/B: kernel 238.7 ms vs xla (see
+    #: ROADMAP r4) per batch.
+    zc_sweep: str = "kernel"
+
+    #: WORLDTPU_ZC_RB: bands fused per zc grid cell (independent serial
+    #: chains per loop body).  r3 A/B chose 2.
+    zc_rb: int = 2
+
+    #: WORLDTPU_ZC_GROUPS: band-group count (shared crossing-rate caps).
+    zc_groups: int = 5
+
+    #: WORLDTPU_ZC_PAINT: in-kernel sweep formulation — False = count +
+    #: one-hot selection, True = interval-cover paint (drops the int-count
+    #: reduce; bitwise-equal result).  Kept for A/B until measured.
+    zc_paint: bool = False
+
+    #: WORLDTPU_CONV: band-filter implementation, "matmul" (blocked-
+    #: Toeplitz MXU form) or "conv" (conv_general_dilated).  r3-end A/B:
+    #: matmul 251.8 vs conv 274.7 ms/batch, bitwise-identical F0.
+    conv: str = "matmul"
+
+    #: WORLDTPU_CONV_PRECISION: MXU precision of the band-filter matmul.
+    #: r4 A/B: highest = 261.9 vs default 238.7 ms/batch and NOT quality-
+    #: neutral at voicing knife edges — keep default (bf16x3-free).
+    conv_precision: object = _PRECISIONS["default"]
+
+    #: WORLDTPU_DFT: engine FFT routing — "fft" (jnp.fft) or "mm"
+    #: (matmul-DFT drop-ins, ops/dft.py).
+    dft: str = "fft"
+
+    #: WORLDTPU_DFT_PRECISION: matmul-DFT basis precision (feeds power
+    #: spectra/cepstra/audio; bf16 input rounding is audible -> highest).
+    dft_precision: object = _PRECISIONS["highest"]
+
+    #: WORLDTPU_GRID_MS: internal candidate/refine grid period (ms) for
+    #: the f32 path.  2 halves per-frame cost but costs voicing-boundary
+    #: resolution (vuv 0.97 on onset-heavy fixtures) — documented fast
+    #: mode, never the default.
+    grid_ms: int = 1
+
+    @staticmethod
+    def from_env() -> "Flags":
+        return Flags(
+            zc=_kernel_switch("WORLDTPU_ZC"),
+            refine=_kernel_switch("WORLDTPU_REFINE"),
+            ola=_kernel_switch("WORLDTPU_OLA"),
+            zc_sweep=_choice("WORLDTPU_ZC_SWEEP", "kernel",
+                             {"kernel", "xla"}),
+            zc_rb=_int_min("WORLDTPU_ZC_RB", 2, 1),
+            zc_groups=_int_min("WORLDTPU_ZC_GROUPS", 5, 1),
+            zc_paint=_choice("WORLDTPU_ZC_PAINT", "0", {"0", "1"}) == "1",
+            conv=_choice("WORLDTPU_CONV", "matmul", {"conv", "matmul"}),
+            conv_precision=_PRECISIONS[_choice(
+                "WORLDTPU_CONV_PRECISION", "default", set(_PRECISIONS))],
+            dft=_choice("WORLDTPU_DFT", "fft", {"fft", "mm"}),
+            dft_precision=_PRECISIONS[_choice(
+                "WORLDTPU_DFT_PRECISION", "highest", set(_PRECISIONS))],
+            grid_ms=_int_min("WORLDTPU_GRID_MS", 1, 1),
+        )
+
+
+#: The process-wide knob values (import-time bound; see module docstring).
+FLAGS = Flags.from_env()

@@ -20,18 +20,17 @@ rounding is audible) and is overridable via WORLDTPU_DFT_PRECISION.
 from __future__ import annotations
 
 import functools
-import os
 
 import jax
 import jax.numpy as jnp
 import numpy as np
 
-MODE = os.environ.get("WORLDTPU_DFT", "fft")
-PRECISION = {
-    "default": jax.lax.Precision.DEFAULT,
-    "high": jax.lax.Precision.HIGH,
-    "highest": jax.lax.Precision.HIGHEST,
-}[os.environ.get("WORLDTPU_DFT_PRECISION", "highest")]
+from worldtpu.flags import FLAGS
+
+# module-level and mutable for tests that toggle the route around a call;
+# processes set WORLDTPU_DFT(_PRECISION) before import (see worldtpu.flags)
+MODE = FLAGS.dft
+PRECISION = FLAGS.dft_precision
 
 
 @functools.lru_cache(maxsize=16)
@@ -73,14 +72,17 @@ def rfft(x, n=None, mode=None, precision=None):
     if n is None:
         n = x.shape[-1]
     L = x.shape[-1]
-    if L < n:
-        x = jnp.pad(x, [(0, 0)] * (x.ndim - 1) + [(0, n - L)])
-    elif L > n:
+    if L > n:
         x = x[..., :n]
+        L = n
+    # zero-padding the input to n contributes nothing to the sum, so the
+    # basis is sliced to the true input width instead (exact, and the
+    # engines' windows are typically 2-4x shorter than their fft size —
+    # that slice IS the matmul-DFT's edge over the n*log(n) FFT)
     C, S = _rfft_basis(n)
-    xf = x.reshape(-1, n).astype(jnp.float32)
-    re = jnp.dot(xf, C, precision=precision)
-    im = -jnp.dot(xf, S, precision=precision)
+    xf = x.reshape(-1, L).astype(jnp.float32)
+    re = jnp.dot(xf, C[:L], precision=precision)
+    im = -jnp.dot(xf, S[:L], precision=precision)
     out = jax.lax.complex(re, im)
     return out.reshape(x.shape[:-1] + (n // 2 + 1,))
 
@@ -95,15 +97,15 @@ def irfft(X, n=None, mode=None, precision=None):
     if n is None:
         n = 2 * (K_in - 1)
     K = n // 2 + 1
-    if K_in < K:
-        X = jnp.pad(X, [(0, 0)] * (X.ndim - 1) + [(0, K - K_in)])
-    elif K_in > K:
+    if K_in > K:
         X = X[..., :K]
+        K_in = K
+    # zero bins contribute nothing: slice the basis to the given bins
     C, S = _irfft_basis(n)
-    Xf = X.reshape(-1, K)
-    out = (jnp.dot(jnp.real(Xf).astype(jnp.float32), C,
+    Xf = X.reshape(-1, K_in)
+    out = (jnp.dot(jnp.real(Xf).astype(jnp.float32), C[:K_in],
                    precision=precision)
-           - jnp.dot(jnp.imag(Xf).astype(jnp.float32), S,
+           - jnp.dot(jnp.imag(Xf).astype(jnp.float32), S[:K_in],
                      precision=precision))
     return out.reshape(X.shape[:-1] + (n,))
 
@@ -119,11 +121,10 @@ def rfft_real(x, n=None, mode=None, precision=None):
     if n is None:
         n = x.shape[-1]
     L = x.shape[-1]
-    if L < n:
-        x = jnp.pad(x, [(0, 0)] * (x.ndim - 1) + [(0, n - L)])
-    elif L > n:
+    if L > n:
         x = x[..., :n]
+        L = n
     C, _ = _rfft_basis(n)
-    xf = x.reshape(-1, n).astype(jnp.float32)
-    return jnp.dot(xf, C, precision=precision).reshape(
+    xf = x.reshape(-1, L).astype(jnp.float32)
+    return jnp.dot(xf, C[:L], precision=precision).reshape(
         x.shape[:-1] + (n // 2 + 1,))

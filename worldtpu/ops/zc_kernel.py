@@ -35,7 +35,6 @@ from __future__ import annotations
 
 import functools
 import math
-import os
 
 import jax
 import jax.numpy as jnp
@@ -44,6 +43,7 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from worldtpu import constants as C
+from worldtpu.flags import FLAGS
 
 
 def _round_up(x, m):
@@ -558,9 +558,81 @@ def _sweep_xla(ev, ccol, *, geo, group, f_pad):
 
 #: A/B knobs (tools/ab.py): bands fused per grid cell, band-group count,
 #: and merge-sweep formulation (paint=1 -> interval-cover masked sum).
-_RB = int(os.environ.get("WORLDTPU_ZC_RB", "2"))
-_NGROUPS = int(os.environ.get("WORLDTPU_ZC_GROUPS", "5"))
-_PAINT = os.environ.get("WORLDTPU_ZC_PAINT", "0") == "1"
+#: Values come validated from the central registry (worldtpu.flags) at
+#: import time; the per-call rb=/groups= parameters override them.
+_RB = FLAGS.zc_rb
+_NGROUPS = FLAGS.zc_groups
+_PAINT = FLAGS.zc_paint
+
+
+def capacity_violations(filt, geo, *, groups=None):
+    """Count violations of the zc kernel's crossing-rate capacity model
+    for THIS signal: [3] int32 = (event-buffer overflows, per-column
+    overflows, sweep-window overruns), all zero iff the kernel's static
+    buffers hold every event losslessly.
+
+    The kernel clamps silently when a pathological band signal (e.g. a
+    chirp riding a band's upper edge) exceeds the 1.65x crossing-rate
+    model — the analog of the reference's worst-case preallocation
+    (/root/reference/src/harvest.cpp:85-98), which would overrun instead.
+    This check is pure dense XLA over the same crossing masks the kernel
+    compacts (cheap reductions, ~1% of the candidates stage), so callers
+    can run it beside the kernel and raise instead of corrupting:
+    harvest.zc_capacity_violations_batch / HarvestKernel.compute_batch
+    (check_capacity=True), asserted zero in bench kernel-parity."""
+    nb, y_len = filt.shape
+    if groups is None:
+        groups = make_groups(geo, n_groups=_NGROUPS)
+    dt = jnp.float32
+    s = filt.astype(dt)
+    g = s[:, 1:] - s[:, :-1]
+
+    stot = _round_up(y_len, 128) // 128
+    grid_hz = 1000.0 / geo.grid_ms
+    F = geo.f0_length
+    f_pad = _round_up(F, 128)
+    n_tiles = f_pad // 128
+    fs_a = float(geo.actual_fs)
+    # sample -> frame tile of its (ceil-rounded) grid frame; one-hot basis
+    # so the per-tile event counts are an MXU matmul, not a scatter
+    pos = np.arange(y_len - 1) + 1.0            # crossing between i, i+1
+    tile_of = np.minimum((np.ceil(pos / fs_a * grid_hz) // 128),
+                         n_tiles - 1).astype(np.int64)
+    onehot = np.zeros((y_len - 1, n_tiles), np.float32)
+    onehot[np.arange(y_len - 1), tile_of] = 1.0
+    onehot_j = jnp.asarray(onehot)
+
+    def type_masks(sig, n_eff):
+        i = jnp.arange(sig.shape[1] - 1)
+        m = (sig[:, :-1] > 0.0) & (sig[:, 1:] <= 0.0) & (i < n_eff - 1)
+        return m.astype(dt)                     # [nb, L-1-ish]
+
+    masks = [type_masks(s, y_len), type_masks(-s, y_len),
+             type_masks(g, y_len - 1), type_masks(-g, y_len - 1)]
+    masks = [jnp.pad(m, ((0, 0), (0, y_len - 1 - m.shape[1])))
+             for m in masks]                    # align to [nb, y_len-1]
+    mall = jnp.stack(masks, axis=1)             # [nb, 4, y_len-1]
+
+    tot = jnp.sum(mall, axis=2)                 # [nb, 4]
+    mp = jnp.pad(mall, ((0, 0), (0, 0), (0, stot * 128 - (y_len - 1))))
+    colcnt = jnp.sum(mp.reshape(nb, 4, stot, 128), axis=3)  # [nb, 4, stot]
+    tilecnt = jnp.dot(mall.reshape(nb * 4, -1), onehot_j,
+                      precision=jax.lax.Precision.HIGHEST
+                      ).reshape(nb, 4, n_tiles)
+
+    ev_v = jnp.zeros((), jnp.int32)
+    col_v = jnp.zeros((), jnp.int32)
+    win_v = jnp.zeros((), jnp.int32)
+    for gg in groups:
+        t = tot[gg.lo:gg.hi]
+        c = colcnt[gg.lo:gg.hi]
+        w = tilecnt[gg.lo:gg.hi]
+        ev_v += jnp.sum((t > gg.e_cap - gg.c_row).astype(jnp.int32))
+        col_v += jnp.sum((c > gg.c_row).astype(jnp.int32))
+        # the sweep guarantees coverage for <= win - 8 locations per
+        # 128-frame tile (the 8 is the carried base's quantization lead)
+        win_v += jnp.sum((w > gg.win - 8).astype(jnp.int32))
+    return jnp.stack([ev_v, col_v, win_v])
 
 
 def band_candidates_pallas(filt, geo, *, bounds=None, groups=None,

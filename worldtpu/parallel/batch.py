@@ -132,8 +132,10 @@ def batch_copy_synthesis(x, f0, tpos, noise, *, fs, fft_size,
 
 
 @functools.partial(
-    jax.jit, static_argnames=("geo", "chunk", "use_zc", "mesh"))
-def batch_harvest_device_stages(x, *, geo, mesh, chunk=32, use_zc=None):
+    jax.jit, static_argnames=("geo", "chunk", "use_zc", "use_refine",
+                              "mesh"))
+def batch_harvest_device_stages(x, *, geo, mesh, chunk=32, use_zc=None,
+                                use_refine=None):
     """Harvest device stages (decimate -> candidates -> refine -> prune)
     for a [B, T] batch under the ('data', 'time') mesh.
 
@@ -145,14 +147,21 @@ def batch_harvest_device_stages(x, *, geo, mesh, chunk=32, use_zc=None):
     frame axis (the reference's frame loop, :934-943).  Collectives: two
     all-gathers over 'time' (raw candidates, refined slabs) riding ICI.
 
-    Returns [B, 2*F*S] flat cand++score rows (same as
-    harvest_device_stages per utterance)."""
+    Runs the SAME production kernels and grid as the single-chip
+    harvest_device_stages: the Pallas refine kernel on TPU (dense
+    refine_stage elsewhere) and the GRID_MS candidate grid, so a mesh
+    deployment gets single-chip per-chip throughput.
+
+    Returns [B, 2*Fk*S] flat cand++score rows (same as
+    harvest_device_stages per utterance; Fk = geo.with_grid(k).f0_length)."""
     nt = mesh.shape["time"]
     Nb = geo.n_channels
     nbl = -(-Nb // nt)
-    F, S = geo.f0_length, geo.max_candidates
-    fl = -(-F // nt)
     dt = x.dtype
+    k = _hv._grid_for(dt)
+    geo_k = geo.with_grid(k)
+    F, S = geo_k.f0_length, geo_k.max_candidates
+    fl = -(-F // nt)
 
     padb = nt * nbl - Nb
     bounds = jnp.pad(jnp.asarray(geo.boundary_f0, dt), (0, padb),
@@ -180,15 +189,20 @@ def batch_harvest_device_stages(x, *, geo, mesh, chunk=32, use_zc=None):
 
     if use_zc is None:
         use_zc = _hv._use_zc_kernel_default()
+    if use_refine is None:
+        use_refine = (dt == jnp.float32) and _hv._use_refine_kernel_default()
     from worldtpu.ops import zc_kernel as _zc
-    groups = _zc.make_groups(geo, stride=nt)
+    # same group count as the single-chip path (zc_kernel._NGROUPS, from
+    # the WORLDTPU_ZC_GROUPS flag) so sharded == unsharded stays bitwise:
+    # e_cap/window sizing depends on the group count
+    groups = _zc.make_groups(geo_k, n_groups=_zc._NGROUPS, stride=nt)
 
     def cell(x_l, kern_s, bounds_s):
         # x_l [Bl, T]; kern_s [1, nbl, taps]; bounds_s [1, nbl]
         kern_s = kern_s[0]
         bounds_s = bounds_s[0]
         tix = jax.lax.axis_index("time")
-        tpos1 = jnp.arange(geo.f0_length, dtype=dt) / 1000.0
+        tposk = jnp.arange(F, dtype=dt) * (k / 1000.0)
 
         def one(xi):
             y = _hv.decimate_stage(xi, ratio=geo.ratio,
@@ -210,11 +224,11 @@ def batch_harvest_device_stages(x, *, geo, mesh, chunk=32, use_zc=None):
                     precision=jax.lax.Precision.DEFAULT)[0]  # [nbl, y_len]
             if use_zc:
                 raw_l = _zc.band_candidates_pallas(
-                    filt, geo, bounds=bounds_s, groups=groups,
+                    filt, geo_k, bounds=bounds_s, groups=groups,
                     interpret=(use_zc == "interpret"))
             else:
                 raw_l = jax.vmap(
-                    lambda fi, b: _hv._band_candidates(fi, b, geo, tpos1))(
+                    lambda fi, b: _hv._band_candidates(fi, b, geo_k, tposk))(
                         filt, bounds_s)
             # reassemble the full band axis in global order
             # gathered rows are in (shard t, row j) order; global band
@@ -222,15 +236,23 @@ def batch_harvest_device_stages(x, *, geo, mesh, chunk=32, use_zc=None):
             raw_g = jax.lax.all_gather(raw_l, "time", axis=0, tiled=True)
             raw = raw_g.reshape(nt, nbl, -1).transpose(1, 0, 2).reshape(
                 nt * nbl, -1)[:Nb]
-            base = _hv._detect_candidates(raw, geo)
+            base = _hv._detect_candidates(raw, geo_k)
             cand = _hv._overlap_candidates(base)         # [F, S] replicated
             # frame-axis shard for refinement
             cand_p = jnp.pad(cand, ((0, nt * fl - F), (0, 0)))
-            tpos_p = jnp.pad(tpos1, (0, nt * fl - F))
+            tpos_p = jnp.pad(tposk, (0, nt * fl - F))
             c_l = jax.lax.dynamic_slice(
                 cand_p, (tix * fl, jnp.zeros((), tix.dtype)), (fl, S))
             t_l = jax.lax.dynamic_slice(tpos_p, (tix * fl,), (fl,))
-            r_l, s_l = _hv.refine_stage(y, c_l, t_l, geo=geo, chunk=chunk)
+            if use_refine:
+                from worldtpu.ops.refine_kernel import refine_stage_pallas
+                r_l, s_l = refine_stage_pallas(
+                    y, c_l, t_l, geo=geo_k,
+                    interpret=(use_refine == "interpret"),
+                    dedup_tol=_hv.REFINE_DEDUP_TOL, gp=_hv.REFINE_GP)
+            else:
+                r_l, s_l = _hv.refine_stage(y, c_l, t_l, geo=geo_k,
+                                            chunk=chunk)
             r_g = jax.lax.all_gather(
                 jnp.stack([r_l, s_l]), "time", axis=1, tiled=True)
             ref, sco = r_g[0, :F], r_g[1, :F]
@@ -340,12 +362,14 @@ def batch_harvest_f0(x, *, geo, n_out, mesh, chunk=32, use_zc=None):
     from worldtpu.analysis import contour_device as CDV
     flat = batch_harvest_device_stages(x, geo=geo, mesh=mesh, chunk=chunk,
                                        use_zc=use_zc)
-    F, S = geo.f0_length, geo.max_candidates
+    k = _hv._grid_for(x.dtype)
+    geo_k = geo.with_grid(k)
+    F, S = geo_k.f0_length, geo_k.max_candidates
     cand = flat[:, :F * S].reshape(-1, F, S)
     score = flat[:, F * S:].reshape(-1, F, S)
     f0 = jax.vmap(
-        lambda c, s: CDV.fix_and_smooth(c, s, n_out, geo.frame_period))(
-            cand, score)
+        lambda c, s: CDV.fix_and_smooth(c, s, n_out, geo.frame_period,
+                                        grid_ms=k))(cand, score)
     if mesh is not None:
         f0 = jax.lax.with_sharding_constraint(
             f0, NamedSharding(mesh, P("data", None)))

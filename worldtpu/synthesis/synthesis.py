@@ -19,12 +19,12 @@ accumulation + fmod (bit-matching the C++) in the x64 parity path.
 from __future__ import annotations
 
 import functools
-import os
 
 import jax
 import jax.numpy as jnp
 
 from worldtpu import constants as C
+from worldtpu.flags import FLAGS
 from worldtpu.ops import dft
 from worldtpu.ops.fftutil import minimum_phase
 from worldtpu.ops.interp import interp1
@@ -193,10 +193,9 @@ def pulse_responses(pt, shift, ns, vuv_at, valid, spectrogram,
 def _use_ola_kernel_default():
     """The Pallas overlap-add is the production path on TPU; the jnp
     scatter remains for CPU (tests) and the f64 parity path.  Env
-    override: WORLDTPU_OLA=0|1|interpret."""
-    v = os.environ.get("WORLDTPU_OLA")
-    if v is not None:
-        return {"0": False, "1": True}.get(v, v)
+    override: WORLDTPU_OLA=0|1|interpret (parsed by worldtpu.flags)."""
+    if FLAGS.ola is not None:
+        return FLAGS.ola
     return jax.default_backend() == "tpu"
 
 

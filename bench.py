@@ -62,6 +62,58 @@ def synth_utterance(fs, dur, f0_base, seed):
     return np.clip(x, -0.99, 0.99).astype(np.float32)
 
 
+def synth_utterance_diverse(fs, seed):
+    """Speech-shaped synthetic utterance for the corpus bench: variable
+    length (1.5-4.5 s), per-'speaker' f0 base (105-280 Hz), alternating
+    voiced vowels / fricative-like noise bursts / silent pauses with onset
+    and offset ramps, plus leading/trailing silence.  Stresses exactly what
+    identical vowels don't: voicing boundaries, silence-heavy frames,
+    breathy (noise-dominated) segments, and length-diverse batch padding."""
+    rng = np.random.RandomState(seed)
+    dur = float(rng.uniform(1.5, 4.5))
+    f0_base = float(rng.uniform(105.0, 280.0))
+    n = int(fs * dur)
+    x = np.zeros(n, np.float64)
+    pos = int(rng.uniform(0.05, 0.20) * fs)        # leading silence
+    phase = rng.uniform(0, 2 * np.pi)
+    while pos < n - int(0.08 * fs):
+        kind = rng.choice(["vowel", "fric", "pause"], p=[0.55, 0.25, 0.20])
+        seg = int(rng.uniform(0.12, 0.45) * fs)
+        seg = min(seg, n - pos)
+        if kind == "pause":
+            pos += seg
+            continue
+        t = np.arange(seg) / fs
+        ramp = min(seg // 4, int(0.02 * fs)) or 1   # 20 ms onset/offset
+        env = np.ones(seg)
+        env[:ramp] = np.linspace(0, 1, ramp)
+        env[-ramp:] = np.linspace(1, 0, ramp)
+        if kind == "vowel":
+            # declining contour + vibrato, like a stressed syllable
+            f0 = (f0_base * 2 ** (rng.uniform(-0.15, 0.35)
+                                  - 0.1 * t / max(t[-1], 1e-6)
+                                  + (25 / 1200) * np.sin(2 * np.pi * 5 * t)))
+            ph = phase + 2 * np.pi * np.cumsum(f0) / fs
+            s = np.zeros(seg)
+            for k in range(1, 20):
+                s += np.sin(k * ph) / k
+            s /= 2.2
+            # breathiness: add aspiration noise at a random mix
+            s += rng.uniform(0.01, 0.08) * rng.randn(seg)
+            phase = ph[-1] % (2 * np.pi)
+        else:
+            # fricative: high-passed noise (diff of white noise)
+            w = rng.randn(seg + 1)
+            s = 0.25 * np.diff(w)
+        x[pos:pos + seg] += env * s * rng.uniform(0.5, 1.0)
+        pos += seg
+    x += 0.0015 * rng.randn(n)
+    peak = np.max(np.abs(x))
+    if peak > 0:
+        x *= 0.8 / peak
+    return np.clip(x, -0.99, 0.99).astype(np.float32)
+
+
 # --------------------------------------------------------------------------
 # C++ reference: build + measure
 # --------------------------------------------------------------------------
@@ -358,22 +410,24 @@ def main():
         jax.block_until_ready(x4_dev)
         F4 = hk4.get_samples()
         out_len4 = int((F4 - 1) * 0.005 * fs4) + 1
-        f0_once4 = np.stack([f for f, _ in hk4.compute_batch(x4_dev)])
-        mp4 = S.estimate_max_pulses(f0_once4.astype(np.float32), fs4,
-                                    ck4.fft_size, out_len4)
+        # static (data-independent) pulse bound — the timed path is fully
+        # self-contained on unseen audio; overflow is flagged in-program
+        mp4 = S.capacity_max_pulses(out_len4, fs4)
         noise4 = S.make_noise(jax.random.PRNGKey(1), mp4, ck4.fft_size,
                               jnp.float32)[None]
 
         def run4():
             # the fused single-dispatch wav->wav program (F0 never visits
             # the host) — one dispatch + one download per utterance
-            y, _ = B.batch_wav_to_wav(
+            y, _, ovf = B.batch_wav_to_wav(
                 x4_dev, noise4, geo=hk4.geo, fs=fs4,
                 fft_size=ck4.fft_size, max_half_window=ck4.max_half_window,
                 frame_period_s=0.005, out_length=out_len4, max_pulses=mp4,
-                mesh=None)
+                mesh=None, return_overflow=True)
             jax.block_until_ready(y)
-            return y
+            return y, ovf
+        assert not np.asarray(run4()[1]).any(), \
+            "config 4: static pulse capacity overflowed"
         w = best_wall(run4)
         configs["4_copysyn_3s_48k"] = {
             "rtf": round(3.0 / w, 2),
@@ -391,24 +445,27 @@ def main():
     rtf5 = None
     cpp_rtf5 = None
     if "5" in CONFIGS:
-        n_utts = int(os.environ.get("WORLDTPU_BENCH_BATCH", "8"))
+        n_batch = int(os.environ.get("WORLDTPU_BENCH_BATCH", "8"))
+        n_utts = int(os.environ.get("WORLDTPU_BENCH_UTTS", str(2 * n_batch)))
         corpus_env = os.environ.get("WORLDTPU_BENCH_CORPUS")
         if corpus_env and pathlib.Path(corpus_env).is_dir():
             cdir = pathlib.Path(corpus_env)
             corpus_src = str(cdir)
             fs5 = None  # taken from the corpus files
         else:
+            # variable-length, silence-/onset-heavy, multi-speaker corpus:
+            # length diversity exercises batch re-padding, multiple compiled
+            # shapes, and slice_outputs in the timed path
             fs5 = 22050
             cdir = work / "corpus"
             cdir.mkdir()
             for i in range(n_utts):
                 wav_io.wavwrite(
                     cdir / f"lj{i:03d}.wav",
-                    synth_utterance(fs5, 3.0, 160.0 + 15 * i, i).astype(
-                        np.float64), fs5)
-            corpus_src = "synthetic"
+                    synth_utterance_diverse(fs5, i).astype(np.float64), fs5)
+            corpus_src = "synthetic-diverse"
 
-        batches = corpus_io.load_corpus(cdir, batch_size=n_utts,
+        batches = corpus_io.load_corpus(cdir, batch_size=n_batch,
                                         pad_to=4096, frames_to=16)
         fs5 = batches[0].fs
         first_wav = corpus_io.scan_corpus(cdir)[0]
@@ -434,14 +491,11 @@ def main():
             x_dev = jax.device_put(jnp.asarray(b.x))
             jax.block_until_ready(x_dev)
             out_len = int((b.F - 1) * 0.005 * dur_scale * fs5) + 1
-            # max_pulses (a static shape) needs one F0 pass on real data;
-            # quantized up so length-diverse batches share compiled programs
-            f0_once = np.stack(
-                [f for f, _ in hk.compute_batch(x_dev)])    # [B, n_out]
-            mp = S.estimate_max_pulses(
-                f0_once.astype(np.float32), fs5, ck5.fft_size, out_len,
-                pitch_scale=pitch_scale)
-            mp = -(-mp // 128) * 128
+            # static (data-independent) pulse capacity: the timed path is
+            # self-contained on unseen audio — no F0 prepass; the program
+            # flags overflow (asserted after the run).  256-quantized so
+            # length-diverse batches share compiled programs.
+            mp = S.capacity_max_pulses(out_len, fs5)
             noise = S.make_noise(
                 jax.random.PRNGKey(0), b.x.shape[0] * mp, ck5.fft_size,
                 jnp.float32).reshape(b.x.shape[0], mp, -1)
@@ -451,28 +505,34 @@ def main():
         def run_batch(item):
             b, x_dev, noise, mp, out_len = item
             hk = kernels[x_dev.shape[1]]
-            y, _ = B.batch_wav_to_wav(
+            y, _, ovf = B.batch_wav_to_wav(
                 x_dev, noise, geo=hk.geo, fs=fs5,
                 fft_size=ck5.fft_size,
                 max_half_window=ck5.max_half_window,
                 frame_period_s=0.005 * dur_scale,
                 out_length=out_len, max_pulses=mp,
-                mesh=None, pitch_scale=pitch_scale)
-            return y
+                mesh=None, pitch_scale=pitch_scale,
+                return_overflow=True)
+            return y, ovf
 
         def pipeline(cycles=1):
             """Stream every batch `cycles` times; the download + unpad of
             batch k overlaps batch k+1's dispatched compute."""
             outs = []
+            ovfs = []
             pending = None  # (CorpusBatch, device y)
             for _ in range(cycles):
                 for item in prepped:
-                    y = run_batch(item)
+                    y, ovf = run_batch(item)
                     y.copy_to_host_async()
+                    ovf.copy_to_host_async()   # overlapped like y
+                    ovfs.append(ovf)
                     if pending is not None:
                         outs.extend(pending[0].slice_outputs(pending[1]))
                     pending = (item[0], y)
             outs.extend(pending[0].slice_outputs(pending[1]))
+            assert not any(np.asarray(o).any() for o in ovfs), \
+                "config 5: static pulse capacity overflowed"
             return outs
 
         outs = pipeline(1)  # compile + warm
@@ -502,8 +562,9 @@ def main():
     print(json.dumps({
         "metric": "analysis+resynthesis real-time factor per chip "
                   "(corpus stream with pitch/duration manipulation, "
-                  "3x batches of 8x3s 22.05kHz, float32, full "
-                  "Harvest+CheapTrick+D4C+Synthesis)",
+                  "variable-length multi-speaker 22.05kHz batches, "
+                  "float32, full Harvest+CheapTrick+D4C+Synthesis, "
+                  "self-contained timed path)",
         "value": headline,
         "unit": "x realtime",
         "vs_baseline": round(headline / base, 2),

@@ -202,3 +202,36 @@ def test_api_synthesis_regrows_on_overflow():
     *_, n_ref, _, _, ovf = S._time_base(
         jnp.asarray(f0), fs, 0.005, out_length, fs / fft_size + 1.0, hard)
     assert not bool(ovf)
+
+
+def test_capacity_max_pulses_static_bound():
+    """The data-independent capacity bound (production streams on unseen
+    audio) must cover any speech-range contour — voiced runs <= f0_cap AND
+    unvoiced runs pulsing at kDefaultF0=500 Hz — and flag (not silently
+    drop) a sustained beyond-cap pathology."""
+    fs = 16000
+    fp_s = 0.005
+    F = 601  # 3 s
+    fft_size = 1024
+    out_length = int((F - 1) * fp_s * fs) + 1
+    mp = S.capacity_max_pulses(out_length, fs)
+    assert mp % 256 == 0
+    assert mp <= S.default_max_pulses(out_length, fs)
+
+    def n_true(f0):
+        *_, n, _, _, ovf = S._time_base(
+            jnp.asarray(f0), fs, fp_s, out_length,
+            fs / fft_size + 1.0, mp)
+        return int(n), bool(ovf)
+
+    # worst legitimate case: fully unvoiced = the 500 Hz default rate
+    _, ovf_uv = n_true(np.zeros(F))
+    assert not ovf_uv
+    # speech-shaped: alternating voiced (<= 400 Hz) and unvoiced
+    f0 = np.zeros(F)
+    f0[::2] = np.linspace(120.0, 400.0, (F + 1) // 2)
+    _, ovf_sp = n_true(f0)
+    assert not ovf_sp
+    # pathology: sustained voicing above the cap must FLAG
+    _, ovf_hi = n_true(np.full(F, 780.0))
+    assert ovf_hi

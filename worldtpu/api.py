@@ -228,14 +228,22 @@ class World:
         F = hk.get_samples()
         fp_s = self.frame_period / 1000.0 * duration_scale
         out_length = int((F - 1) * fp_s * self.fs) + 1
-        mp = _syn.default_max_pulses(out_length, self.fs,
-                                     f0_ceil=self.f0_ceil * pitch_scale)
+        # Static capacity bound + overflow-checked regrow: ordinary speech
+        # runs with the small (~500 Hz-rate) slab; a sustained-high-F0
+        # pathology flags and reruns with a doubled bound up to the
+        # reference's worst case (src/synthesis.cpp:87-88).
+        mp = _syn.capacity_max_pulses(out_length, self.fs)
+        hard = _syn.default_max_pulses(out_length, self.fs,
+                                       f0_ceil=self.f0_ceil * pitch_scale)
         if key is None:
             key = jax.random.PRNGKey(0)
-        noise = _syn.make_noise(key, mp, self.fft_size, dtype)[None]
-        y, f0 = _B.batch_wav_to_wav(
-            jnp.asarray(x, dtype)[None], noise, geo=hk.geo, fs=self.fs,
-            fft_size=self.fft_size, max_half_window=ck.max_half_window,
-            frame_period_s=fp_s, out_length=out_length, max_pulses=mp,
-            mesh=None, pitch_scale=pitch_scale)
-        return np.asarray(y[0]), np.asarray(f0[0])
+        while True:
+            noise = _syn.make_noise(key, mp, self.fft_size, dtype)[None]
+            y, f0, ovf = _B.batch_wav_to_wav(
+                jnp.asarray(x, dtype)[None], noise, geo=hk.geo, fs=self.fs,
+                fft_size=self.fft_size, max_half_window=ck.max_half_window,
+                frame_period_s=fp_s, out_length=out_length, max_pulses=mp,
+                mesh=None, pitch_scale=pitch_scale, return_overflow=True)
+            if not bool(ovf[0]) or mp >= hard:
+                return np.asarray(y[0]), np.asarray(f0[0])
+            mp = min(hard, mp * 2)

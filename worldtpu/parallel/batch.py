@@ -76,10 +76,10 @@ def _copy_syn_one(x, f0, tpos, noise, fs, fft_size, max_half_window,
 @functools.partial(
     jax.jit,
     static_argnames=("fs", "fft_size", "max_half_window", "out_length",
-                     "max_pulses", "mesh"))
+                     "max_pulses", "mesh", "return_overflow"))
 def batch_copy_synthesis(x, f0, tpos, noise, *, fs, fft_size,
                          max_half_window, frame_period_s, out_length,
-                         max_pulses, mesh=None):
+                         max_pulses, mesh=None, return_overflow=False):
     """Batched copy-synthesis (analysis from given F0 + resynthesis).
 
     Args:
@@ -95,19 +95,26 @@ def batch_copy_synthesis(x, f0, tpos, noise, *, fs, fft_size,
             synthesis.
 
     Returns:
-        (y [B, out_length], spec [B, F, K], ap [B, F, K])
+        (y [B, out_length], spec [B, F, K], ap [B, F, K]); with
+        ``return_overflow`` a trailing [B] bool marking utterances whose
+        true pulse count exceeded the static ``max_pulses`` bound (tail
+        pulses dropped — callers resize+rerun, see api.Synthesis.compute).
     """
     def syn_fn(xb, f0b, nb, specb, apb):
-        return jax.vmap(lambda fi, si, ai, ni: _syn.synthesis_frames_impl(
+        y, ovf = jax.vmap(lambda fi, si, ai, ni: _syn.synthesis_frames_impl(
             fi, si, ai, ni, fs=fs, fft_size=fft_size,
             frame_period_s=frame_period_s, out_length=out_length,
-            max_pulses=max_pulses))(f0b, specb, apb, nb)
+            max_pulses=max_pulses, return_overflow=True))(
+                f0b, specb, apb, nb)
+        return (y, ovf) if return_overflow else (y, None)
 
     if mesh is None:
         spec, ap = jax.vmap(
             lambda xi, fi: _analysis_one(
                 xi, fi, tpos, fs, fft_size, max_half_window))(x, f0)
-        return syn_fn(x, f0, noise, spec, ap), spec, ap
+        y, ovf = syn_fn(x, f0, noise, spec, ap)
+        return ((y, spec, ap, ovf) if return_overflow
+                else (y, spec, ap))
 
     def local_analysis(x_l, f0_l, tpos_l):
         # local shapes: [B/nd, T], [B/nd, F/nt], [F/nt]
@@ -126,9 +133,9 @@ def batch_copy_synthesis(x, f0, tpos, noise, *, fs, fft_size,
     rep = NamedSharding(mesh, P("data", None, None))
     spec_g = jax.lax.with_sharding_constraint(spec, rep)
     ap_g = jax.lax.with_sharding_constraint(ap, rep)
-    y = syn_fn(x, f0, noise, spec_g, ap_g)
+    y, ovf = syn_fn(x, f0, noise, spec_g, ap_g)
     y = jax.lax.with_sharding_constraint(y, NamedSharding(mesh, P("data", None)))
-    return y, spec, ap
+    return (y, spec, ap, ovf) if return_overflow else (y, spec, ap)
 
 
 @functools.partial(
@@ -274,16 +281,19 @@ def batch_harvest_device_stages(x, *, geo, mesh, chunk=32, use_zc=None,
     jax.jit,
     static_argnames=("geo", "fs", "fft_size", "max_half_window",
                      "frame_period_s", "out_length", "max_pulses", "mesh",
-                     "chunk"))
+                     "chunk", "return_overflow"))
 def batch_wav_to_wav(x, noise, *, geo, fs, fft_size, max_half_window,
                      frame_period_s, out_length, max_pulses, mesh=None,
-                     chunk=32, pitch_scale=1.0):
+                     chunk=32, pitch_scale=1.0, return_overflow=False):
     """The flagship ONE-DISPATCH pipeline: [B, T] wavs -> Harvest F0 (with
     on-device contour fixing) -> optional pitch scaling -> CheapTrick +
     D4C -> synthesis -> [B, out_length] wavs.  F0 never leaves the device;
     duration modification is the frame_period_s at synthesis (reference
     test.cpp's ParameterModification analog).  mesh=None runs single-chip;
-    a ('data','time') mesh shards it (dp x sp + band-parallel Harvest)."""
+    a ('data','time') mesh shards it (dp x sp + band-parallel Harvest).
+    ``return_overflow`` appends a [B] bool of pulse-bound overflows so a
+    production stream sized by synthesis.capacity_max_pulses self-checks
+    (see that docstring)."""
     from worldtpu.analysis import harvest as _h
 
     n_grid = 1 + int(1000.0 * geo.x_length / geo.fs / geo.frame_period)
@@ -303,10 +313,15 @@ def batch_wav_to_wav(x, noise, *, geo, fs, fft_size, max_half_window,
         F = f0.shape[1]
     tpos = (jnp.arange(F, dtype=x.dtype)
             * (geo.frame_period / 1000.0))
-    y, spec, ap = batch_copy_synthesis(
+    outs = batch_copy_synthesis(
         x, f0, tpos, noise, fs=fs, fft_size=fft_size,
         max_half_window=max_half_window, frame_period_s=frame_period_s,
-        out_length=out_length, max_pulses=max_pulses, mesh=mesh)
+        out_length=out_length, max_pulses=max_pulses, mesh=mesh,
+        return_overflow=return_overflow)
+    if return_overflow:
+        y, _, _, ovf = outs
+        return y, f0[:, :n_grid], ovf
+    y = outs[0]
     return y, f0[:, :n_grid]
 
 

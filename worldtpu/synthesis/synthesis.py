@@ -305,6 +305,25 @@ def estimate_max_pulses(f0, fs, fft_size, out_length, margin=1.15,
     return min(hard, -(-est // 256) * 256)
 
 
+def capacity_max_pulses(out_length, fs, f0_cap=C.DEFAULT_F0, margin=1.15):
+    """Static (data-independent) pulse-count bound for production streams
+    on UNSEEN audio: the synthesis time base pulses at the interpolated F0
+    where voiced and at the kDefaultF0=500 Hz rate where unvoiced
+    (/root/reference/src/synthesis.cpp:245-288 via the vuv substitution at
+    :225-243), so the MEAN pulse rate of any utterance whose voiced F0
+    stays <= f0_cap is bounded by max(f0_cap, DEFAULT_F0).  For speech
+    (f0 <= ~400 Hz after typical pitch scaling) the bound is simply the
+    500 Hz unvoiced rate — within ~1.5x of the data-derived estimate, with
+    no F0 prepass.  Pair with synthesis_frames(return_overflow=True): a
+    pathological input (sustained > f0_cap voicing) flags instead of
+    silently dropping pulses, and the caller regrows toward
+    default_max_pulses.  Quantized to 256 to bound retracing."""
+    rate = max(float(f0_cap), C.DEFAULT_F0)
+    est = int(out_length / fs * rate * margin) + 32
+    hard = default_max_pulses(out_length, fs)
+    return min(hard, -(-est // 256) * 256)
+
+
 def default_max_pulses(out_length, fs, f0_ceil=C.CEIL_F0):
     """Static pulse-count bound: the reference's out_length/(fs/max_f0)
     (:87-88) with max_f0 bounded by the Harvest ceiling (and the unvoiced

@@ -218,6 +218,27 @@ def best_wall(fn, reps=REPS):
     return min(walls)
 
 
+def amortized_wall(dispatch, reps=REPS, k=8):
+    """Steady-state per-call wall of a device-resident program: `dispatch`
+    enqueues one run and returns device arrays WITHOUT synchronizing; k
+    dispatches share ONE sync.  Separates the program's throughput from the
+    dev-tunnel's ~26 ms per-sync round-trip floor, which a production
+    pipeline (many utterances in flight) pays once per stream, not once per
+    utterance.  The single-call `best_wall` numbers stay reported as `rtf`
+    (cold = dispatch + sync every call); this is `rtf_amortized`."""
+    import jax
+    jax.block_until_ready(dispatch())  # compile + warm
+    best = np.inf
+    for _ in range(reps):
+        t0 = time.time()
+        out = None
+        for _ in range(k):
+            out = dispatch()
+        jax.block_until_ready(out)
+        best = min(best, (time.time() - t0) / k)
+    return best
+
+
 def main():
     import jax
     if os.environ.get("WORLDTPU_BENCH_PLATFORM"):
@@ -259,9 +280,15 @@ def main():
     tp_dev = jax.device_put(jnp.asarray(tpos_ours, jnp.float32))
 
     if "1" in CONFIGS:
+        from worldtpu.analysis import harvest as H1
         w = best_wall(lambda: hk1.compute(x1_dev, dtype=jnp.float32))
+        n_out1a = hk1.get_samples()
+        mean0a = jnp.zeros((), jnp.float32)
+        wa = amortized_wall(lambda: H1.harvest_device_full(
+            x1_dev, mean0a, geo=hk1.geo, n_out=n_out1a, chunk=64))
         configs["1_harvest_3s_16k"] = {
             "rtf": round(3.0 / w, 2),
+            "rtf_amortized": round(3.0 / wa, 2),
             "cpp_rtf": round(3.0 / ref1["harvest"], 2) if ref1 else None}
 
     if "2" in CONFIGS:
@@ -272,8 +299,12 @@ def main():
             jax.block_until_ready(out)
             return out
         w = best_wall(run2)
+        wa = amortized_wall(lambda: cheaptrick_frames(
+            x1_dev, f0_dev, tp_dev, fs=fs1, fft_size=ck1.fft_size,
+            max_half_window=ck1.max_half_window))
         configs["2_cheaptrick_3s_16k"] = {
             "rtf": round(3.0 / w, 2),
+            "rtf_amortized": round(3.0 / wa, 2),
             "cpp_rtf": round(3.0 / ref1["cheaptrick"], 2) if ref1 else None}
 
     if "3" in CONFIGS:
@@ -294,9 +325,26 @@ def main():
                 cse, fs=fs1, fft_size=ck1.fft_size, n_dims=32)
             jax.block_until_ready((dap, dse))
             return dap
+        def disp3():
+            ap = d4c_frames(x1_dev, f0_dev, tp_dev, fs=fs1,
+                            fft_size_out=ck1.fft_size)
+            cap = codec.code_aperiodicity(ap, fs=fs1, fft_size=ck1.fft_size)
+            dap = codec.decode_aperiodicity(cap, fs=fs1,
+                                            fft_size=ck1.fft_size)
+            spec = cheaptrick_frames(
+                x1_dev, f0_dev, tp_dev, fs=fs1, fft_size=ck1.fft_size,
+                max_half_window=ck1.max_half_window)
+            cse = codec.code_spectral_envelope(
+                spec, fs=fs1, fft_size=ck1.fft_size, n_dims=32)
+            dse = codec.decode_spectral_envelope(
+                cse, fs=fs1, fft_size=ck1.fft_size, n_dims=32)
+            return dap, dse
+
         w = best_wall(run3)
+        wa = amortized_wall(disp3)
         configs["3_d4c_codec_3s_16k"] = {
             "rtf": round(3.0 / w, 2),
+            "rtf_amortized": round(3.0 / wa, 2),
             "cpp_rtf": round(3.0 / ref1["d4c"], 2) if ref1 else None,
             "note": "ours includes CheapTrick+codec round-trip; cpp_rtf is "
                     "D4C compute only"}
@@ -429,8 +477,14 @@ def main():
         assert not np.asarray(run4()[1]).any(), \
             "config 4: static pulse capacity overflowed"
         w = best_wall(run4)
+        wa = amortized_wall(lambda: B.batch_wav_to_wav(
+            x4_dev, noise4, geo=hk4.geo, fs=fs4,
+            fft_size=ck4.fft_size, max_half_window=ck4.max_half_window,
+            frame_period_s=0.005, out_length=out_len4, max_pulses=mp4,
+            mesh=None)[0])
         configs["4_copysyn_3s_48k"] = {
             "rtf": round(3.0 / w, 2),
+            "rtf_amortized": round(3.0 / wa, 2),
             "cpp_rtf": round(3.0 / ref4["total"], 2) if ref4 else None}
 
     # ---- config 5 (headline): batched corpus copy-synthesis with

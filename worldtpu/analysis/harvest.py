@@ -811,8 +811,11 @@ def _use_refine_kernel_default():
 #: (see refine_kernel.refine_stage_pallas dedup rationale); 0 disables.
 REFINE_DEDUP_TOL = 0.004
 
-#: Pallas refine fused-group-chain count (refine_stage_pallas gp).
-REFINE_GP = 1
+#: Pallas refine fused-group-chain count / frames per grid cell
+#: (refine_stage_pallas gp / gf) — occupancy levers, env-tunable via the
+#: central registry (WORLDTPU_REFINE_GP / WORLDTPU_REFINE_GF).
+REFINE_GP = FLAGS.refine_gp
+REFINE_GF = FLAGS.refine_gf
 
 #: Implementation-selector knobs, initialized from the validated central
 #: registry (worldtpu.flags — one place for supported values, A/B'd
@@ -865,7 +868,7 @@ def harvest_device_stages(x, mean_y, *, geo, chunk=64, use_refine=None,
         cand, score = refine_stage_pallas(
             y - mean_y, cand, tposk, geo=geo_k,
             interpret=(use_refine == "interpret"),
-            dedup_tol=REFINE_DEDUP_TOL, gp=REFINE_GP)
+            dedup_tol=REFINE_DEDUP_TOL, gp=REFINE_GP, gf=REFINE_GF)
     else:
         cand, score = refine_stage(y - mean_y, cand, tposk, geo=geo_k,
                                    chunk=chunk)

@@ -103,6 +103,15 @@ class Flags:
     #: reduce; bitwise-equal result).  Kept for A/B until measured.
     zc_paint: bool = False
 
+    #: WORLDTPU_REFINE_GF: frames per refine-kernel grid cell (amortizes
+    #: per-cell DMA/setup; r2 chose 8 over 1).
+    refine_gf: int = 8
+
+    #: WORLDTPU_REFINE_GP: fused group chains per refine-kernel loop body
+    #: (independent serial chains overlap in the scheduler, the same
+    #: occupancy lever as zc_rb).
+    refine_gp: int = 1
+
     #: WORLDTPU_CONV: band-filter implementation, "matmul" (blocked-
     #: Toeplitz MXU form) or "conv" (conv_general_dilated).  r3-end A/B:
     #: matmul 251.8 vs conv 274.7 ms/batch, bitwise-identical F0.
@@ -138,6 +147,8 @@ class Flags:
             zc_rb=_int_min("WORLDTPU_ZC_RB", 2, 1),
             zc_groups=_int_min("WORLDTPU_ZC_GROUPS", 5, 1),
             zc_paint=_choice("WORLDTPU_ZC_PAINT", "0", {"0", "1"}) == "1",
+            refine_gf=_int_min("WORLDTPU_REFINE_GF", 8, 1),
+            refine_gp=_int_min("WORLDTPU_REFINE_GP", 1, 1),
             conv=_choice("WORLDTPU_CONV", "matmul", {"conv", "matmul"}),
             conv_precision=_PRECISIONS[_choice(
                 "WORLDTPU_CONV_PRECISION", "default", set(_PRECISIONS))],

@@ -256,7 +256,8 @@ def batch_harvest_device_stages(x, *, geo, mesh, chunk=32, use_zc=None,
                 r_l, s_l = refine_stage_pallas(
                     y, c_l, t_l, geo=geo_k,
                     interpret=(use_refine == "interpret"),
-                    dedup_tol=_hv.REFINE_DEDUP_TOL, gp=_hv.REFINE_GP)
+                    dedup_tol=_hv.REFINE_DEDUP_TOL, gp=_hv.REFINE_GP,
+                    gf=_hv.REFINE_GF)
             else:
                 r_l, s_l = _hv.refine_stage(y, c_l, t_l, geo=geo_k,
                                             chunk=chunk)

@@ -114,6 +114,68 @@ def synth_utterance_diverse(fs, seed):
     return np.clip(x, -0.99, 0.99).astype(np.float32)
 
 
+def synth_utterance_pathological(fs, seed):
+    """The voice qualities Harvest's heuristics were designed around and
+    plain vowels never exercise: vocal fry (low-F0 pulse train with heavy
+    period jitter + shimmer), diplophonia (alternating long/short periods
+    producing subharmonics / doubled harmonics), plus mains hum, DC offset
+    and room noise.  A modal-voice segment anchors the contour."""
+    rng = np.random.RandomState(seed)
+    dur = 3.2
+    n = int(fs * dur)
+    x = np.zeros(n, np.float64)
+
+    def glottal_pulse(width):
+        # Rosenberg-ish asymmetric pulse
+        t = np.linspace(0, 1, width, endpoint=False)
+        op, cl = 0.6, 0.3
+        p = np.where(t < op, 0.5 * (1 - np.cos(np.pi * t / op)),
+                     np.where(t < op + cl,
+                              np.cos(0.5 * np.pi * (t - op) / cl), 0.0))
+        return p - p.mean()
+
+    def pulse_train(t0, t1, f0_base, jitter, shimmer, diplo=0.0):
+        pos = int(t0 * fs)
+        end = int(t1 * fs)
+        alt = 0
+        while pos < end:
+            per = fs / (f0_base * 2 ** (rng.uniform(-jitter, jitter)))
+            if diplo > 0.0 and alt % 2:
+                per *= 1.0 + diplo
+            width = max(8, int(per * 0.9))
+            amp = 0.5 * 2 ** (rng.uniform(-shimmer, shimmer))
+            seg = glottal_pulse(width) * amp
+            hi = min(n, pos + width)
+            x[pos:hi] += seg[:hi - pos]
+            pos += int(per)
+            alt += 1
+
+    # modal anchor vowel
+    pulse_train(0.15, 1.0, 170.0, 0.01, 0.05)
+    # vocal fry: ~60 Hz, 25% jitter, strong shimmer
+    pulse_train(1.1, 1.9, 62.0, 0.25, 0.5)
+    # diplophonia: 150 Hz with alternating +40% periods
+    pulse_train(2.0, 2.9, 150.0, 0.02, 0.1, diplo=0.4)
+    # room noise + 50 Hz mains hum + DC offset
+    t = np.arange(n) / fs
+    x += 0.004 * rng.randn(n)
+    x += 0.01 * np.sin(2 * np.pi * 50.0 * t)
+    x += 0.02
+    peak = np.max(np.abs(x))
+    if peak > 0:
+        x *= 0.8 / peak
+    return np.clip(x, -0.99, 0.99).astype(np.float32)
+
+
+#: real recorded audio baked into the container (pygame examples) — not
+#: speech, but true recordings (room tone, transients, broadband content);
+#: used as an algorithm-parity case in the quality block since the image
+#: has no downloadable speech corpora (zero egress)
+REAL_RECORDING = pathlib.Path(
+    "/opt/venv/lib/python3.12/site-packages/pygame/examples/data/"
+    "house_lo.wav")
+
+
 # --------------------------------------------------------------------------
 # C++ reference: build + measure
 # --------------------------------------------------------------------------
@@ -249,6 +311,7 @@ def main():
                           os.environ["WORLDTPU_BENCH_PLATFORM"])
     import jax.numpy as jnp
     from worldtpu import codec
+    from worldtpu import constants as C
     from worldtpu.analysis.cheaptrick import CheapTrickKernel, cheaptrick_frames
     from worldtpu.analysis.d4c import d4c_frames
     from worldtpu.analysis.harvest import HarvestKernel
@@ -340,14 +403,26 @@ def main():
                 cse, fs=fs1, fft_size=ck1.fft_size, n_dims=32)
             return dap, dse
 
+        def run3_d4c_only():
+            ap = d4c_frames(x1_dev, f0_dev, tp_dev, fs=fs1,
+                            fft_size_out=ck1.fft_size)
+            jax.block_until_ready(ap)
+            return ap
+
         w = best_wall(run3)
         wa = amortized_wall(disp3)
+        w_d4c = best_wall(run3_d4c_only)
+        wa_d4c = amortized_wall(lambda: d4c_frames(
+            x1_dev, f0_dev, tp_dev, fs=fs1, fft_size_out=ck1.fft_size))
         configs["3_d4c_codec_3s_16k"] = {
+            # like-for-like vs cpp_rtf (D4C compute alone)
+            "rtf_d4c_only": round(3.0 / w_d4c, 2),
+            "rtf_d4c_only_amortized": round(3.0 / wa_d4c, 2),
+            # the full config-3 pipeline (D4C + aperiodicity codec
+            # round-trip + CheapTrick + envelope codec round-trip)
             "rtf": round(3.0 / w, 2),
             "rtf_amortized": round(3.0 / wa, 2),
-            "cpp_rtf": round(3.0 / ref1["d4c"], 2) if ref1 else None,
-            "note": "ours includes CheapTrick+codec round-trip; cpp_rtf is "
-                    "D4C compute only"}
+            "cpp_rtf": round(3.0 / ref1["d4c"], 2) if ref1 else None}
 
     # ---- compiled-kernel parity on the real chip (VERDICT r2 item 4):
     #      the Pallas zc/refine/OLA kernels vs their jnp twins, same data —
@@ -421,30 +496,99 @@ def main():
         rms = float(np.sqrt(np.mean(y_jnp ** 2))) or 1.0
         kernel_parity["ola_rel_rms"] = float(
             np.sqrt(np.mean((y_ola - y_jnp) ** 2))) / rms
-        assert kernel_parity["zc_raw_frac_gt_0.1hz"] < 0.02, kernel_parity
-        assert kernel_parity["zc_f0_rmse_hz"] < 0.05, kernel_parity
+        def gate(cond, msg):
+            if not cond:   # not assert: must survive python -O
+                raise RuntimeError(f"kernel parity gate: {msg}: "
+                                   f"{kernel_parity}")
+        gate(kernel_parity["zc_raw_frac_gt_0.1hz"] < 0.02, "zc_raw")
+        gate(kernel_parity["zc_f0_rmse_hz"] < 0.05, "zc_f0_rmse")
         # voicing-onset frames can flip between two equally-valid f32
-        # paths (the C++-referenced quality gate below is authoritative)
-        assert kernel_parity["zc_f0_vuv_agree"] > 0.98, kernel_parity
-        assert kernel_parity["refine_frac_gt_0.1hz"] < 0.02, kernel_parity
-        assert kernel_parity["ola_rel_rms"] < 1e-4, kernel_parity
+        # paths (the C++-referenced quality gate below is authoritative);
+        # observed 0.9867 (r4) — gated at observed minus margin so the
+        # next silent regression fails here instead of being absorbed
+        gate(kernel_parity["zc_f0_vuv_agree"] > 0.985, "zc_vuv")
+        gate(kernel_parity["refine_frac_gt_0.1hz"] < 0.02, "refine")
+        gate(kernel_parity["ola_rel_rms"] < 1e-4, "ola")
 
-    # ---- quality vs reference dumps (config 1 utterance) ----
+    # ---- quality vs reference dumps: >= 4 utterances (synthetic vowel,
+    #      diverse speech-shaped, pathological creak/fry/diplophonia, and
+    #      a real recording), per-utterance + mean + worst-case ----
     if dump_bin is not None:
+        qutts = [("vowel", work / "u16.wav")]
         try:
-            subprocess.run(
-                [str(dump_bin), str(work / "u16.wav"), str(work / "q"),
-                 "5.0"],
-                check=True, capture_output=True, timeout=600,
-                cwd=str(work))
-            f0_ref, _, _ = params_io.read_f0(work / "q.f0")
-            spec_ref, _ = params_io.read_spectral_envelope(work / "q.spec")
-            spec_ours = np.asarray(cheaptrick_frames(
-                x1_dev, f0_dev, tp_dev, fs=fs1, fft_size=ck1.fft_size,
-                max_half_window=ck1.max_half_window))
-            quality = quality_metrics(f0_ours, f0_ref, spec_ours, spec_ref)
-        except Exception as e:  # quality is best-effort
-            quality = {"error": str(e)[:120]}
+            p = work / "qdiv.wav"
+            wav_io.wavwrite(
+                p, synth_utterance_diverse(fs1, 101).astype(np.float64),
+                fs1)
+            qutts.append(("diverse", p))
+            p = work / "qpath.wav"
+            wav_io.wavwrite(
+                p,
+                synth_utterance_pathological(fs1, 202).astype(np.float64),
+                fs1)
+            qutts.append(("pathological", p))
+            if REAL_RECORDING.exists():
+                qutts.append(("real_recording", REAL_RECORDING))
+        except Exception:
+            pass
+
+        per_utt = {}
+        for qname, qpath in qutts:
+            try:
+                pre = work / f"q_{qname}"
+                subprocess.run(
+                    [str(dump_bin), str(qpath), str(pre), "5.0"],
+                    check=True, capture_output=True, timeout=600,
+                    cwd=str(work))
+                f0_ref, _, _ = params_io.read_f0(f"{pre}.f0")
+                spec_ref, _ = params_io.read_spectral_envelope(
+                    f"{pre}.spec")
+                xq, fsq, _ = wav_io.wavread(qpath)
+                xq = np.asarray(xq, np.float32)
+                hkq = HarvestKernel(fsq, len(xq), f0_floor=40.0)
+                ckq = CheapTrickKernel(fsq)
+                xq_dev = jax.device_put(jnp.asarray(xq))
+                f0q, tposq = hkq.compute(xq_dev, dtype=jnp.float32)
+                specq = np.asarray(cheaptrick_frames(
+                    xq_dev, jnp.asarray(f0q, jnp.float32),
+                    jnp.asarray(tposq, jnp.float32), fs=fsq,
+                    fft_size=ckq.fft_size,
+                    max_half_window=ckq.max_half_window))
+                per_utt[qname] = quality_metrics(
+                    f0q, f0_ref, specq, spec_ref)
+            except Exception as e:  # per-utterance best-effort
+                per_utt[qname] = {"error": str(e)[:120]}
+
+        ok = {k: v for k, v in per_utt.items() if "error" not in v}
+        if ok:
+            quality = dict(ok.get("vowel") or next(iter(ok.values())))
+            quality["per_utterance"] = per_utt
+            quality["n_utterances"] = len(ok)
+            quality["mean_f0_rmse_hz"] = round(float(np.mean(
+                [v["f0_rmse_hz"] for v in ok.values()])), 6)
+            quality["worst_f0_rmse_hz"] = round(float(np.max(
+                [v["f0_rmse_hz"] for v in ok.values()])), 6)
+            quality["worst_vuv_agreement"] = round(float(np.min(
+                [v["vuv_agreement"] for v in ok.values()])), 4)
+            quality["worst_mcd_db"] = round(float(np.max(
+                [v["mcd_db"] for v in ok.values()])), 6)
+            # hard gates (VERDICT r4 item 4): the established vowel case
+            # must hold its measured margins — a silent regression fails
+            # the bench instead of being absorbed
+            v0 = ok.get("vowel")
+            if v0 is not None:
+                if v0["vuv_agreement"] < 0.998:
+                    raise RuntimeError(f"quality gate: vowel vuv "
+                                       f"{v0['vuv_agreement']} < 0.998")
+                if v0["f0_rmse_hz"] > 0.5:
+                    raise RuntimeError(f"quality gate: vowel f0 rmse "
+                                       f"{v0['f0_rmse_hz']} > 0.5 Hz")
+                if v0["mcd_db"] > 0.1:
+                    raise RuntimeError(f"quality gate: vowel mcd "
+                                       f"{v0['mcd_db']} > 0.1 dB")
+        else:
+            quality = {"error": "no quality utterance succeeded",
+                       "per_utterance": per_utt}
 
     # ---- config 4: single 48 kHz copy-synthesis ----
     if "4" in CONFIGS:
@@ -474,8 +618,8 @@ def main():
                 mesh=None, return_overflow=True)
             jax.block_until_ready(y)
             return y, ovf
-        assert not np.asarray(run4()[1]).any(), \
-            "config 4: static pulse capacity overflowed"
+        if np.asarray(run4()[1]).any():   # not assert: must survive -O
+            raise RuntimeError("config 4: static pulse capacity overflowed")
         w = best_wall(run4)
         wa = amortized_wall(lambda: B.batch_wav_to_wav(
             x4_dev, noise4, geo=hk4.geo, fs=fs4,
@@ -547,9 +691,12 @@ def main():
             out_len = int((b.F - 1) * 0.005 * dur_scale * fs5) + 1
             # static (data-independent) pulse capacity: the timed path is
             # self-contained on unseen audio — no F0 prepass; the program
-            # flags overflow (asserted after the run).  256-quantized so
-            # length-diverse batches share compiled programs.
-            mp = S.capacity_max_pulses(out_len, fs5)
+            # flags overflow (checked after the run).  256-quantized so
+            # length-diverse batches share compiled programs.  The voiced
+            # f0 cap scales with the pitch manipulation (real corpora can
+            # voice near the 500 Hz cap; scaled that exceeds the default).
+            mp = S.capacity_max_pulses(
+                out_len, fs5, f0_cap=C.DEFAULT_F0 * pitch_scale)
             noise = S.make_noise(
                 jax.random.PRNGKey(0), b.x.shape[0] * mp, ck5.fft_size,
                 jnp.float32).reshape(b.x.shape[0], mp, -1)
@@ -585,8 +732,9 @@ def main():
                         outs.extend(pending[0].slice_outputs(pending[1]))
                     pending = (item[0], y)
             outs.extend(pending[0].slice_outputs(pending[1]))
-            assert not any(np.asarray(o).any() for o in ovfs), \
-                "config 5: static pulse capacity overflowed"
+            if any(np.asarray(o).any() for o in ovfs):  # survive python -O
+                raise RuntimeError(
+                    "config 5: static pulse capacity overflowed")
             return outs
 
         outs = pipeline(1)  # compile + warm

@@ -167,13 +167,12 @@ def test_refine_kernel_fused_groups_bitwise(knob):
 
 
 @pytest.mark.parametrize("fs,f0b", [(16000, 180.0), (22050, 120.0)])
-def test_zc_xla_sweep_matches_kernel_sweep(fs, f0b):
-    """sweep='xla' (phase-1-only kernel + dense XLA merge-sweep with
-    precomputed tile bases) vs the full in-kernel path.  The interp
-    formulas are identical and every one-hot sum selects the same row; the
-    residual difference is the 4-type accumulation order (sequential adds
-    in the kernel vs XLA's tree sum) — pure f32 rounding, <0.01 Hz on
-    40-800 Hz candidates."""
+def test_zc_adaptive_frame_tiles_bitwise(fs, f0b):
+    """The group-adaptive frame-tile width (ft*128 frames per merge-sweep
+    tile, sized so low-frequency groups amortize the fixed window slack)
+    only changes the tiling of the sweep loop — the selected segment row
+    and the interp formula per frame are identical, so results are
+    BITWISE equal to the ft=1 tiling."""
     from worldtpu.analysis import harvest as H
     from worldtpu.ops import zc_kernel as Z
 
@@ -191,20 +190,55 @@ def test_zc_xla_sweep_matches_kernel_sweep(fs, f0b):
         dimension_numbers=("NCW", "OIW", "NCW"),
         precision=jax.lax.Precision.HIGHEST)[0]
     a = np.asarray(Z.band_candidates_pallas(filt, geo, interpret=True))
-    b = np.asarray(Z.band_candidates_pallas(filt, geo, interpret=True,
-                                            sweep="xla"))
-    np.testing.assert_array_equal(a > 0, b > 0)
-    np.testing.assert_allclose(b, a, atol=0.01, rtol=1e-5)
+    b = np.asarray(Z.band_candidates_pallas(
+        filt, geo, interpret=True,
+        groups=Z.make_groups(geo, ft=1, win_round=64)))
+    np.testing.assert_array_equal(a, b)
 
 
-def test_zc_xla_sweep_silence():
+def test_zc_events_kernel_counts_match_dense():
+    """The phase-1 measurement hook (_zc_events_call) must stay honest:
+    its per-column event counts equal the dense crossing-mask counts."""
     from worldtpu.analysis import harvest as H
     from worldtpu.ops import zc_kernel as Z
 
     fs = 16000
-    geo = H.HarvestGeometry(fs, 4000)
-    filt = jnp.zeros((geo.n_channels, geo.y_length), jnp.float32)
-    raw = np.asarray(Z.band_candidates_pallas(filt, geo, interpret=True,
-                                              sweep="xla"))
-    assert raw.shape == (geo.n_channels, geo.f0_length)
-    assert np.all(raw == 0.0)
+    x = _vowel(fs, 0.4, 170.0, 7)
+    geo = H.HarvestGeometry(fs, len(x))
+    dt = jnp.float32
+    y = H.decimate_stage(jnp.asarray(x, dt), ratio=geo.ratio,
+                         y_length=geo.y_length)
+    Lmax = geo.max_filter_half
+    kern = H._bandpass_kernels(geo, dt)
+    ypad = jnp.pad(y, (Lmax - 1, Lmax + 1))
+    filt = np.asarray(jax.lax.conv_general_dilated(
+        ypad[None, None, :], kern[:, None, :],
+        window_strides=(1,), padding="VALID",
+        dimension_numbers=("NCW", "OIW", "NCW"),
+        precision=jax.lax.Precision.HIGHEST)[0])
+    groups = Z.make_groups(geo)
+    g = groups[-1]
+    y_len = geo.y_length
+    stot = -(-y_len // 128)
+    fp = np.pad(filt.astype(np.float32),
+                ((0, 0), (0, stot * 128 - y_len)))
+    filt_T = jnp.asarray(fp.reshape(-1, stot, 128).transpose(0, 2, 1))
+    ev, ccol = Z._zc_events_call(
+        filt_T[g.lo:g.hi], y_length=y_len, stot=stot, e_cap=g.e_cap,
+        c_row=g.c_row, interpret=True, rb=2)
+    # dense oracle: negative-going crossings of (s, -s, ds, -ds)
+    s = filt[g.lo:g.hi].astype(np.float32)
+    d = s[:, 1:] - s[:, :-1]
+    for t, (sig, n_eff) in enumerate(
+            [(s, y_len), (-s, y_len), (d, y_len - 1), (-d, y_len - 1)]):
+        i = np.arange(sig.shape[1] - 1)
+        m = (sig[:, :-1] > 0.0) & (sig[:, 1:] <= 0.0) & (i < n_eff - 1)
+        np.testing.assert_array_equal(
+            np.asarray(jnp.sum(ccol[:, t, :], axis=1), np.int64),
+            m.sum(axis=1))
+        # events are sorted ascending with inf-fill
+        evt = np.asarray(ev[:, :, t])
+        for b in range(evt.shape[0]):
+            n = int(m[b].sum())
+            assert np.all(np.diff(evt[b, :n]) > 0)
+            assert np.all(np.isinf(evt[b, n:]))

@@ -71,6 +71,10 @@ def main():
     wav_io.wavwrite(wav_path, x.astype(np.float64), fs)
 
     _, dump_bin = build_reference()
+    if dump_bin is None:
+        sys.exit("bisect_quality: cannot build the C++ reference dumper "
+                 "(needs /root/reference and g++); no reference to "
+                 "bisect against")
     subprocess.run([str(dump_bin), str(wav_path), str(work / "q"), "5.0"],
                    check=True, capture_output=True, timeout=600,
                    cwd=str(work))

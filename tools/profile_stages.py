@@ -125,8 +125,7 @@ def main():
             cand, raw, base = H.candidates_stage(
                 y, jnp.zeros((), x.dtype), tposk, geo=geo_k)
             c, s = refine_stage_pallas(y, cand, tposk, geo=geo_k,
-                                       dedup_tol=H.REFINE_DEDUP_TOL,
-                                       gp=H.REFINE_GP)
+                                       dedup_tol=H.REFINE_DEDUP_TOL)
             return c, s
         c, s = jax.vmap(one)(x)
         return reduce_out(c, s)

@@ -81,7 +81,7 @@ def main():
         if H._use_refine_kernel_default():
             cand, score = refine_stage_pallas(
                 y - mean, cand, tposk, geo=geo_k,
-                dedup_tol=H.REFINE_DEDUP_TOL, gp=H.REFINE_GP)
+                dedup_tol=H.REFINE_DEDUP_TOL)
         else:
             cand, score = H.refine_stage(y - mean, cand, tposk, geo=geo_k)
         if upto == 3:

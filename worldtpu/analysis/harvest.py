@@ -561,8 +561,7 @@ def candidates_stage(y, mean_y, tpos, *, geo, use_zc=None):
         if use_zc:
             from worldtpu.ops import zc_kernel
             raw = zc_kernel.band_candidates_pallas(
-                filt, geo, interpret=(use_zc == "interpret"),
-                sweep=ZC_SWEEP)
+                filt, geo, interpret=(use_zc == "interpret"))
         else:
             bounds = jnp.asarray(geo.boundary_f0, dt)
             raw = jax.vmap(
@@ -813,8 +812,7 @@ REFINE_DEDUP_TOL = 0.004
 
 #: Pallas refine fused-group-chain count / frames per grid cell
 #: (refine_stage_pallas gp / gf) — occupancy levers, env-tunable via the
-#: central registry (WORLDTPU_REFINE_GP / WORLDTPU_REFINE_GF).
-REFINE_GP = FLAGS.refine_gp
+#: central registry (WORLDTPU_REFINE_GF).
 REFINE_GF = FLAGS.refine_gf
 
 #: Implementation-selector knobs, initialized from the validated central
@@ -823,7 +821,6 @@ REFINE_GF = FLAGS.refine_gf
 #: stay mutable for tests that monkey-toggle a knob around a CPU call;
 #: production processes set the environment before import (see the
 #: worldtpu.flags docstring for why binding is at import time).
-ZC_SWEEP = FLAGS.zc_sweep
 CONV_MODE = FLAGS.conv
 CONV_MM_PRECISION = FLAGS.conv_precision
 GRID_MS = FLAGS.grid_ms
@@ -868,7 +865,7 @@ def harvest_device_stages(x, mean_y, *, geo, chunk=64, use_refine=None,
         cand, score = refine_stage_pallas(
             y - mean_y, cand, tposk, geo=geo_k,
             interpret=(use_refine == "interpret"),
-            dedup_tol=REFINE_DEDUP_TOL, gp=REFINE_GP, gf=REFINE_GF)
+            dedup_tol=REFINE_DEDUP_TOL, gf=REFINE_GF)
     else:
         cand, score = refine_stage(y - mean_y, cand, tposk, geo=geo_k,
                                    chunk=chunk)

@@ -244,6 +244,13 @@ class World:
                 fft_size=self.fft_size, max_half_window=ck.max_half_window,
                 frame_period_s=fp_s, out_length=out_length, max_pulses=mp,
                 mesh=None, pitch_scale=pitch_scale, return_overflow=True)
-            if not bool(ovf[0]) or mp >= hard:
+            if not bool(ovf[0]):
                 return np.asarray(y[0]), np.asarray(f0[0])
+            if mp >= hard:
+                # mirrors Synthesis.compute: even the hard bound can be
+                # exceeded by the extrapolated end knot of the coarse F0
+                # (synthesis.py:67) — never return silently-truncated audio
+                raise OverflowError(
+                    f"pulse count exceeds max_pulses={mp} (hard bound "
+                    f"{hard}); pass a larger pitch-scaled capacity")
             mp = min(hard, mp * 2)

@@ -85,32 +85,26 @@ class Flags:
     #: WORLDTPU_OLA: synthesis overlap-add — Pallas kernel vs jnp scatter.
     ola: object = None
 
-    #: WORLDTPU_ZC_SWEEP: merge-sweep location for the zc kernel.
-    #: "kernel" = in-kernel carried-window sweep; "xla" = phase-1-only
-    #: kernel + dense XLA sweep.  r4 A/B: kernel 238.7 ms vs xla (see
-    #: ROADMAP r4) per batch.
-    zc_sweep: str = "kernel"
-
     #: WORLDTPU_ZC_RB: bands fused per zc grid cell (independent serial
-    #: chains per loop body).  r3 A/B chose 2.
+    #: chains per loop body).  r3 A/B chose 2 (r5 re-measure: rb1/rb2/rb4
+    #: within 3%).
     zc_rb: int = 2
 
     #: WORLDTPU_ZC_GROUPS: band-group count (shared crossing-rate caps).
+    #: (Deleted knobs, kept out of the matrix: ZC_SWEEP=xla — dense-XLA
+    #: sweep, 4x slower with 16 Hz drift, r4; ZC_PAINT — interval-cover
+    #: sweep, 14% slower, r5.)
     zc_groups: int = 5
 
-    #: WORLDTPU_ZC_PAINT: in-kernel sweep formulation — False = count +
-    #: one-hot selection, True = interval-cover paint (drops the int-count
-    #: reduce; bitwise-equal result).  Kept for A/B until measured.
-    zc_paint: bool = False
-
     #: WORLDTPU_REFINE_GF: frames per refine-kernel grid cell (amortizes
-    #: per-cell DMA/setup; r2 chose 8 over 1).
+    #: per-cell DMA/setup; r2 chose 8 over 1; r5 device A/B: gf16 flat
+    #: (48.4 vs 48.3 ms/batch), gf32 flat.
+    #: (Deleted knob: REFINE_GP — fused group chains per loop body;
+    #: r5 device A/B: gp2 = 60.9 ms vs gp1 = 48.3, gp4 = 89.0 — strictly
+    #: worse at every setting, the kernel is throughput-bound on its
+    #: per-group work, not latency-bound on chain count.  The gp kernel
+    #: parameter remains for tests.)
     refine_gf: int = 8
-
-    #: WORLDTPU_REFINE_GP: fused group chains per refine-kernel loop body
-    #: (independent serial chains overlap in the scheduler, the same
-    #: occupancy lever as zc_rb).
-    refine_gp: int = 1
 
     #: WORLDTPU_CONV: band-filter implementation, "matmul" (blocked-
     #: Toeplitz MXU form) or "conv" (conv_general_dilated).  r3-end A/B:
@@ -142,13 +136,9 @@ class Flags:
             zc=_kernel_switch("WORLDTPU_ZC"),
             refine=_kernel_switch("WORLDTPU_REFINE"),
             ola=_kernel_switch("WORLDTPU_OLA"),
-            zc_sweep=_choice("WORLDTPU_ZC_SWEEP", "kernel",
-                             {"kernel", "xla"}),
             zc_rb=_int_min("WORLDTPU_ZC_RB", 2, 1),
             zc_groups=_int_min("WORLDTPU_ZC_GROUPS", 5, 1),
-            zc_paint=_choice("WORLDTPU_ZC_PAINT", "0", {"0", "1"}) == "1",
             refine_gf=_int_min("WORLDTPU_REFINE_GF", 8, 1),
-            refine_gp=_int_min("WORLDTPU_REFINE_GP", 1, 1),
             conv=_choice("WORLDTPU_CONV", "matmul", {"conv", "matmul"}),
             conv_precision=_PRECISIONS[_choice(
                 "WORLDTPU_CONV_PRECISION", "default", set(_PRECISIONS))],

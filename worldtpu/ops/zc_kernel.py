@@ -57,7 +57,7 @@ class _GroupGeom:
     """Static geometry for one band group (contiguous row range whose
     maximum boundary frequency is bound_top)."""
 
-    def __init__(self, geo, lo, hi, bound_top):
+    def __init__(self, geo, lo, hi, bound_top, win_round=8, ft=None):
         self.lo = lo
         self.hi = hi
         self.n_bands = hi - lo
@@ -68,18 +68,25 @@ class _GroupGeom:
         # per-128-sample-column capacity: min spacing fs_a/(1.5*bound)
         rate = 1.5 * bound_top / geo.actual_fs          # events per sample
         self.c_row = _round_up(int(128.0 * rate) + 4, 8)
-        # merge-sweep window: locations per 128-frame tile (128*grid_ms ms
-        # of signal) + slack.  The crossing rate of a [0.5b, 1.5b]-
-        # bandpassed signal is bounded by 1.5b; 1.65 margin + base-
-        # quantization slack (the window is ~2/3 of the kernel wall, so
-        # slack is kept tight)
-        self.win = _round_up(
-            int(0.128 * geo.grid_ms * bound_top * 1.65) + 24, 64)
+        # merge-sweep window: locations per frame tile + slack.  The
+        # crossing rate of a [0.5b, 1.5b]-bandpassed signal is bounded by
+        # 1.5b; 1.65 margin + base-quantization slack.  A frame tile is
+        # ft*128 frames: low-frequency groups take ft > 1 so the +24
+        # fixed slack amortizes (at ft=1 it was up to 4x the real window
+        # for the lowest bands) and the serial tile loop shortens; ft is
+        # capped so the window stays ~<= 256 rows (VMEM tile shape).
+        # Alignment only needs the f32 sublane tile (8); the old
+        # 64-rounding cost low groups ~1.5x phase-2 work.
+        base = max(1, int(0.128 * geo.grid_ms * bound_top * 1.65))
+        if ft is None:
+            ft = max(1, min(12, 224 // base))
+        self.ft = ft
+        self.win = _round_up(base * ft + 24, win_round)
         self.e_cap = _round_up(max(self.e_cap, self.win + 16), 128)
         self.win = min(self.win, self.e_cap - 8)
 
 
-def make_groups(geo, n_groups=5, stride=1):
+def make_groups(geo, n_groups=5, stride=1, win_round=8, ft=None):
     """Split the band-row axis into octave-ish groups with shared caps.
 
     With stride > 1 the rows are a strided subset bands[t::stride] of the
@@ -95,13 +102,14 @@ def make_groups(geo, n_groups=5, stride=1):
             continue
         g_hi = min(int(b) * stride, geo.n_channels)
         out.append(_GroupGeom(geo, int(a), int(b),
-                              float(geo.boundary_f0[g_hi - 1])))
+                              float(geo.boundary_f0[g_hi - 1]),
+                              win_round=win_round, ft=ft))
     return tuple(out)
 
 
 def _zc_group_kernel(filt_ref, out_ref, colbuf, cnt_smem, *,
                      y_length, stot, f_pad, e_cap, c_row, win, fs_a,
-                     n_frames_tiles, rb=1, grid_hz=1000.0, paint=False):
+                     n_frames_tiles, rb=1, grid_hz=1000.0, ft=1):
     """``rb`` bands per grid cell.  filt_ref [rb, 128, Stot], out
     [rb, 8, Fpad] (row 0 of the middle dim carries each band's result; the
     8-row middle dim exists only to satisfy Mosaic's (8, 128)-divisible
@@ -174,11 +182,13 @@ def _zc_group_kernel(filt_ref, out_ref, colbuf, cnt_smem, *,
         # 8 columns per step and ALL 4*rb chains per iteration.  Lanes
         # 0..7 are STATIC slices, then one 8-lane rotate per tile
         # (Mosaic has no dynamic-lane indexing).
-        # NO carried offset chain: each tile's offsets are seeded by an
-        # independent masked prefix reduce over the per-column counts, so
-        # the serial dependence depth drops from s8 columns to the 8
-        # within one tile and tiles overlap in the scheduler.  Ordering
-        # of the overlapping inf-padding writes is program order.
+        # EVERY column's store offset comes from its own independent
+        # masked prefix reduce over the per-column counts — no carried
+        # offset chain at all (r5 burst: carried-within-tile 35.5 ms vs
+        # independent 29.3 ms on the events kernel; the stores are ~60%
+        # of phase 1), and empty columns are SKIPPED under pl.when
+        # (safe: each nonempty store writes its own c_row window with an
+        # inf tail, and the buffer is inf-initialized).
         # NOTE: a prefix-scan + dynamic-roll block compaction (one slab
         # store per 8 columns) was tried and is ~40% SLOWER — 8 dynamic
         # sublane rotations cost more than 8 small stores — and needs
@@ -186,20 +196,19 @@ def _zc_group_kernel(filt_ref, out_ref, colbuf, cnt_smem, *,
         new_tiles = []
         for t in range(nch):
             tile = tiles[t]
-            off = jnp.sum(jnp.where(lane_s8 < 8 * s, ccols[t], 0.0),
-                          dtype=dt).astype(jnp.int32)
             for j in range(8):
                 col = tile[:, j:j + 1]
                 rc = jnp.sum((col > 0.0).astype(jnp.int32),
                              dtype=jnp.int32)
-                o = jnp.minimum(off, e_cap - c_row)
-                # unconditional store: an empty column writes c_row infs
-                # at `off` without advancing it — the next nonempty column
-                # overwrites them, and trailing infs equal the buffer's
-                # init value
-                colbuf[pl.ds(o, c_row), t:t + 1] = jnp.where(
-                    col > 0.0, col, jnp.inf)
-                off = off + rc
+                off = jnp.sum(
+                    jnp.where(lane_s8 < 8 * s + j, ccols[t], 0.0),
+                    dtype=dt).astype(jnp.int32)
+
+                @pl.when(rc > 0)
+                def _store(col=col, off=off, t=t):
+                    o = jnp.minimum(off, e_cap - c_row)
+                    colbuf[pl.ds(o, c_row), t:t + 1] = jnp.where(
+                        col > 0.0, col, jnp.inf)
             new_tiles.append(pltpu.roll(tile, s8 - 8, axis=1))
         return tuple(new_tiles)
 
@@ -214,14 +223,15 @@ def _zc_group_kernel(filt_ref, out_ref, colbuf, cnt_smem, *,
          & (cnt_smem[4 * r + 2] - 1 > 2) & (cnt_smem[4 * r + 3] - 1 > 2))
         for r in range(rb)]
 
-    lane128 = jax.lax.broadcasted_iota(jnp.int32, (1, 128), 1)
+    FW = 128 * ft                                    # frames per tile
+    laneFW = jax.lax.broadcasted_iota(jnp.int32, (1, FW), 1)
     wext = win + 8
     subw = jax.lax.broadcasted_iota(jnp.int32, (wext, 1), 0)
 
     n_locs = [jnp.minimum(cnt_smem[t] - 1, e_cap - 8) for t in range(nch)]
     seg_his = [jnp.maximum(n_locs[t] - 1, 1) for t in range(nch)]
 
-    def frame_tile(ft, jbs):
+    def frame_tile(fti, jbs):
         # ONE window read per chain covers both the frame-count compare and
         # the interpolation select: nle = jb + count gives d in
         # [jb-1, jb+win-1] (count >= 0, and jb is clamped to n_loc-2 so
@@ -230,8 +240,8 @@ def _zc_group_kernel(filt_ref, out_ref, colbuf, cnt_smem, *,
         # read would be redundant.  All 4*rb chains run in one loop body
         # (separate per-type loops were ~1.5x slower), and each band's
         # four contributions land in ONE output write per tile.
-        fgrid = (128 * ft + lane128).astype(dt)
-        vals_sums = [jnp.zeros((1, 128), dt) for _ in range(rb)]
+        fgrid = (FW * fti + laneFW).astype(dt)
+        vals_sums = [jnp.zeros((1, FW), dt) for _ in range(rb)]
         new_jbs = []
         for t in range(nch):
             jb = jbs[t]
@@ -255,56 +265,32 @@ def _zc_group_kernel(filt_ref, out_ref, colbuf, cnt_smem, *,
             x0s = jnp.where(jnp.isfinite(x0r), x0r, 0.0)
 
             ffw = jnp.ceil(locw[:wext] * grid_hz)
-            if paint:
-                # paint formulation: the count+one-hot selection picks row
-                # d = clip(jb + #{ffw <= fgrid}, 1, seg_hi) - 1, which for
-                # sorted locations is exactly "the row whose frame interval
-                # [ffw_d, ffw_{d+1}) covers this lane" with the first/last
-                # valid rows extended to -inf/+inf (the clip's left/right
-                # extrapolation).  Painting that cover mask directly drops
-                # the int-count reduction and the equality one-hot; sorted
-                # intervals are disjoint, so exactly one row covers each
-                # lane and the masked sum IS the selected value (bitwise:
-                # one nonzero summand).
-                absrow = subw + jb0                         # [wext, 1]
-                ffw_nx = jnp.ceil(locw[1:wext + 1] * grid_hz)
-                s_d = jnp.where(absrow == 0, -1e9, ffw)
-                e_d = jnp.where(absrow >= seg_his[t] - 1,
-                                jnp.where(absrow == seg_his[t] - 1,
-                                          1e9, -1e9), ffw_nx)
-                cover = (fgrid >= s_d) & (fgrid < e_d)      # [wext, 128]
-                expr = y0r + (fgrid / grid_hz - x0s) * slope
-                vals_sums[t // 4] = vals_sums[t // 4] + jnp.sum(
-                    jnp.where(cover, expr, 0.0), axis=0, keepdims=True)
-                in_row = (subw >= off) & (subw < off + win)
-                fg_last = (128 * ft + 127).astype(dt)       # scalar
-                adv = jnp.sum(
-                    (in_row & (ffw <= fg_last)).astype(jnp.int32),
-                    dtype=jnp.int32)
-            else:
-                in_cmp = (subw >= off) & (subw < off + win)
-                cmp = in_cmp & (ffw <= fgrid)               # [wext, 128]
-                nle = jb + jnp.sum(cmp.astype(jnp.int32), axis=0,
-                                   keepdims=True,
-                                   dtype=jnp.int32)         # [1, 128]
-                d = jnp.clip(nle, 1, seg_his[t]) - 1
-                oh = (subw + jb0) == d                      # [wext, 128]
-                A = jnp.sum(jnp.where(oh, y0r, 0.0), axis=0, keepdims=True)
-                X = jnp.sum(jnp.where(oh, x0s, 0.0), axis=0, keepdims=True)
-                B = jnp.sum(jnp.where(oh, slope, 0.0), axis=0,
-                            keepdims=True)
-                vals_sums[t // 4] = (vals_sums[t // 4]
-                                     + (A + (fgrid / grid_hz - X) * B))
-                # advance the window base
-                adv = jnp.sum(cmp[:, 127:128].astype(jnp.int32),
-                              dtype=jnp.int32)
+            # count + one-hot selection (an interval-cover "paint"
+            # formulation that drops the count reduce was measured ~14%
+            # SLOWER on device, r5 burst 1 — deleted)
+            in_cmp = (subw >= off) & (subw < off + win)
+            cmp = in_cmp & (ffw <= fgrid)                   # [wext, FW]
+            nle = jb + jnp.sum(cmp.astype(jnp.int32), axis=0,
+                               keepdims=True,
+                               dtype=jnp.int32)             # [1, FW]
+            d = jnp.clip(nle, 1, seg_his[t]) - 1
+            oh = (subw + jb0) == d                          # [wext, FW]
+            A = jnp.sum(jnp.where(oh, y0r, 0.0), axis=0, keepdims=True)
+            X = jnp.sum(jnp.where(oh, x0s, 0.0), axis=0, keepdims=True)
+            B = jnp.sum(jnp.where(oh, slope, 0.0), axis=0,
+                        keepdims=True)
+            vals_sums[t // 4] = (vals_sums[t // 4]
+                                 + (A + (fgrid / grid_hz - X) * B))
+            # advance the window base
+            adv = jnp.sum(cmp[:, FW - 1:FW].astype(jnp.int32),
+                          dtype=jnp.int32)
             jbn = jnp.maximum(jb + adv - 8, 0)
             jbn = jnp.minimum(jbn, jnp.maximum(n_locs[t] - 2, 0))
             jbn = jnp.minimum((jbn // 8) * 8, e_cap - win - 8)
             new_jbs.append(jnp.maximum(jbn, 0))
-        fo = pl.multiple_of(128 * ft, 128)
+        fo = pl.multiple_of(FW * fti, 128)
         for r in range(rb):
-            out_ref[r, 0:1, pl.ds(fo, 128)] = vals_sums[r]
+            out_ref[r, 0:1, pl.ds(fo, FW)] = vals_sums[r]
         return tuple(new_jbs)
 
     jax.lax.fori_loop(0, n_frames_tiles, frame_tile,
@@ -316,18 +302,19 @@ def _zc_group_kernel(filt_ref, out_ref, colbuf, cnt_smem, *,
 
 
 def _zc_group_call(filt_T, *, y_length, stot, f_pad, e_cap, c_row, win,
-                   fs_a, interpret, rb=2, grid_hz=1000.0, paint=False):
+                   fs_a, interpret, rb=2, grid_hz=1000.0, ft=1):
     nb = filt_T.shape[0]
     nbp = _round_up(nb, rb)
     if nbp != nb:
         # all-zero pad bands produce zero contours (usable=False) and are
         # sliced off by the caller
         filt_T = jnp.pad(filt_T, ((0, nbp - nb), (0, 0), (0, 0)))
-    n_tiles = f_pad // 128
+    f_pad = _round_up(f_pad, 128 * ft)   # group-local tile-width multiple
+    n_tiles = f_pad // (128 * ft)
     kern = functools.partial(
         _zc_group_kernel, y_length=y_length, stot=stot, f_pad=f_pad,
         e_cap=e_cap, c_row=c_row, win=win, fs_a=fs_a,
-        n_frames_tiles=n_tiles, rb=rb, grid_hz=grid_hz, paint=paint)
+        n_frames_tiles=n_tiles, rb=rb, grid_hz=grid_hz, ft=ft)
     out = pl.pallas_call(
         kern,
         grid=(nbp // rb,),
@@ -346,16 +333,17 @@ def _zc_group_call(filt_T, *, y_length, stot, f_pad, e_cap, c_row, win,
 
 
 def _zc_events_kernel(filt_ref, ev_ref, ccol_ref, *,
-                      y_length, stot, e_cap, c_row, rb):
+                      y_length, stot, e_cap, c_row, rb, mode="full"):
     """Phase-1-only variant: compacted event buffers + per-column counts,
-    NO in-kernel merge-sweep (that part is throughput work and runs as a
-    dense XLA program in `_sweep_xla`; the kernel keeps only the part XLA
-    cannot express without a scatter-sort — the sequential compaction).
+    NO in-kernel merge-sweep.  Measurement hook for tools/zc_ab.py (wall
+    attribution between compaction and sweep; `mode` selects further
+    ablations: "nostore" drops the store loop, "noklop" replaces the
+    k-loop compaction with a wrong-but-shaped slice, "indep" computes
+    every column's store offset independently).
 
     ev_ref [rb, e_cap, 8]: lanes 0..3 = the four event types' sorted fines
     (inf-filled); ccol_ref [rb, 8, s_pad]: rows 0..3 = events per
-    128-sample column (the XLA sweep derives totals and tile bases from
-    these)."""
+    128-sample column."""
     dt = jnp.float32
     sub = jax.lax.broadcasted_iota(jnp.int32, (128, stot), 0)
     lane = jax.lax.broadcasted_iota(jnp.int32, (128, stot), 1)
@@ -388,12 +376,17 @@ def _zc_events_kernel(filt_ref, ev_ref, ccol_ref, *,
             mf = mask.astype(dt)
             lrank = jnp.dot(tri, mf, preferred_element_type=dt,
                             precision=jax.lax.Precision.HIGHEST) - 1.0
-            rows = []
-            for k in range(c_row):
-                sel = mask & (lrank == float(k))
-                rows.append(jnp.sum(jnp.where(sel, fine, 0.0), axis=0,
-                                    keepdims=True))
-            chunkT = jnp.concatenate(rows, axis=0)           # [c_row, stot]
+            if mode == "noklop":
+                # attribution mode (tools/zc_ab.py): k-loop replaced by a
+                # static slice — WRONG results, isolates compaction cost
+                chunkT = jnp.where(mask[:c_row], fine[:c_row], 0.0)
+            else:
+                rows = []
+                for k in range(c_row):
+                    sel = mask & (lrank == float(k))
+                    rows.append(jnp.sum(jnp.where(sel, fine, 0.0), axis=0,
+                                        keepdims=True))
+                chunkT = jnp.concatenate(rows, axis=0)       # [c_row, stot]
             ccol = jnp.sum((chunkT > 0.0).astype(dt), axis=0,
                            keepdims=True)                    # [1, stot]
             ccol_ref[r, t:t + 1, :] = jnp.concatenate(
@@ -407,6 +400,10 @@ def _zc_events_kernel(filt_ref, ev_ref, ccol_ref, *,
 
     lane_s8 = jax.lax.broadcasted_iota(jnp.int32, (1, s8), 1)
 
+    if mode == "nostore":
+        # attribution mode: no compacted buffer at all (ev stays inf)
+        return
+
     def store_blk(s, tiles):
         # NO carried offset chain: each tile's store offsets are seeded by
         # an independent masked prefix reduce over the per-column counts
@@ -418,16 +415,28 @@ def _zc_events_kernel(filt_ref, ev_ref, ccol_ref, *,
         for c in range(4 * rb):
             tile = tiles[c]
             r, t = divmod(c, 4)
-            off = jnp.sum(jnp.where(lane_s8 < 8 * s, ccols[c], 0.0),
-                          dtype=dt).astype(jnp.int32)
-            for j in range(8):
-                col = tile[:, j:j + 1]
-                rc = jnp.sum((col > 0.0).astype(jnp.int32),
-                             dtype=jnp.int32)
-                o = jnp.minimum(off, e_cap - c_row)
-                ev_ref[r, pl.ds(o, c_row), t:t + 1] = jnp.where(
-                    col > 0.0, col, jnp.inf)
-                off = off + rc
+            if mode == "indep":
+                # every column's offset from its own masked reduce: all 8
+                # stores fully independent (no intra-tile serial chain)
+                for j in range(8):
+                    col = tile[:, j:j + 1]
+                    off = jnp.sum(
+                        jnp.where(lane_s8 < 8 * s + j, ccols[c], 0.0),
+                        dtype=dt).astype(jnp.int32)
+                    o = jnp.minimum(off, e_cap - c_row)
+                    ev_ref[r, pl.ds(o, c_row), t:t + 1] = jnp.where(
+                        col > 0.0, col, jnp.inf)
+            else:
+                off = jnp.sum(jnp.where(lane_s8 < 8 * s, ccols[c], 0.0),
+                              dtype=dt).astype(jnp.int32)
+                for j in range(8):
+                    col = tile[:, j:j + 1]
+                    rc = jnp.sum((col > 0.0).astype(jnp.int32),
+                                 dtype=jnp.int32)
+                    o = jnp.minimum(off, e_cap - c_row)
+                    ev_ref[r, pl.ds(o, c_row), t:t + 1] = jnp.where(
+                        col > 0.0, col, jnp.inf)
+                    off = off + rc
             new_tiles.append(pltpu.roll(tile, s8 - 8, axis=1))
         return tuple(new_tiles)
 
@@ -435,7 +444,7 @@ def _zc_events_kernel(filt_ref, ev_ref, ccol_ref, *,
 
 
 def _zc_events_call(filt_T, *, y_length, stot, e_cap, c_row, interpret,
-                    rb=2):
+                    rb=2, mode="full"):
     nb = filt_T.shape[0]
     nbp = _round_up(nb, rb)
     if nbp != nb:
@@ -443,7 +452,7 @@ def _zc_events_call(filt_T, *, y_length, stot, e_cap, c_row, interpret,
     s_pad = _round_up(stot, 128)
     kern = functools.partial(
         _zc_events_kernel, y_length=y_length, stot=stot, e_cap=e_cap,
-        c_row=c_row, rb=rb)
+        c_row=c_row, rb=rb, mode=mode)
     ev, ccol = pl.pallas_call(
         kern,
         grid=(nbp // rb,),
@@ -464,105 +473,11 @@ def _zc_events_call(filt_T, *, y_length, stot, e_cap, c_row, interpret,
     return ev[:nb], ccol[:nb]
 
 
-def _sweep_xla(ev, ccol, *, geo, group, f_pad):
-    """Dense-XLA merge-sweep interpolation over compacted event buffers.
-
-    The in-kernel sweep is a latency-bound serial chain (carried window
-    base per frame tile); here the base of EVERY tile is precomputed from
-    the per-column event counts (events in columns strictly before the
-    tile's first frame undercount the true rank by at most c_row + the
-    location/event offset, absorbed by widening the window), after which
-    every (band, type, tile) is an independent dense computation XLA
-    fuses into a few reduction loops.  Formulas are identical to the
-    kernel sweep (3 one-hot masked sums, slope anchored at the selected
-    row's own x0), so values match it to f32 rounding."""
-    dt = jnp.float32
-    nbg = ev.shape[0]
-    e_cap, c_row, win = group.e_cap, group.c_row, group.win
-    fs_a = float(geo.actual_fs)
-    grid_hz = 1000.0 / geo.grid_ms
-    n_tiles = f_pad // 128
-
-    evT = jnp.transpose(ev[:, :, :4], (0, 2, 1))            # [nbg, 4, e_cap]
-    n_ev = jnp.sum(ccol[:, :4, :], axis=2).astype(jnp.int32)  # [nbg, 4]
-    usable = jnp.all(n_ev - 1 > 2, axis=1)                  # [nbg]
-    n_loc = jnp.minimum(n_ev - 1, e_cap - 8)
-    seg_hi = jnp.maximum(n_loc - 1, 1)                      # [nbg, 4]
-
-    # window geometry: forward span per 128-frame tile is bounded by the
-    # group's crossing-rate window `win` (same model as the kernel); the
-    # count base undercounts by <= c_row (partial column) + 9 (margin +
-    # location/event offset), so the window widens by that much
-    wx = _round_up(win + c_row + 24, 8)
-    wc = wx - 2
-
-    # count base cb per tile from column-count prefix sums: events in
-    # columns strictly before the column containing the tile's first
-    # frame time, minus a 9-row margin -> cb <= rank of the first loc the
-    # tile's compare must see (condition A: every rank < cb already
-    # satisfies ffw <= fgrid for the whole tile)
-    colcum = jnp.cumsum(ccol[:, :4, :], axis=2)             # inclusive
-    tile_pos = (np.arange(n_tiles) * 128 - 1).astype(np.float64) \
-        / grid_hz * fs_a
-    tile_col = np.maximum(np.floor(tile_pos / 128.0).astype(np.int32), 0)
-    before = jnp.take(colcum,
-                      jnp.asarray(np.maximum(tile_col - 1, 0)), axis=2)
-    before = jnp.where(jnp.asarray(tile_col)[None, None, :] > 0,
-                       before, 0.0).astype(jnp.int32)       # [nbg,4,T]
-    cb = jnp.maximum(before - 9, 0)
-    # the interval clip d <= seg_hi - 1 can select below cb at the contour
-    # tail; keep the base under it like the kernel's n_loc-2 clamp
-    cb = jnp.minimum(cb, jnp.maximum(seg_hi - 8, 0)[:, :, None])
-    # slice base sb covers d = cb - 1 (the clip floor) with a 4-row lead
-    sb = jnp.clip(cb - 4, 0, e_cap - wx - 2)
-    off = cb - sb                                           # [nbg,4,T] >= 0
-
-    # gather event windows: one contiguous row slice per (band, type, tile)
-    ev2 = evT.reshape(nbg * 4, e_cap)
-    sb_f = sb.reshape(nbg * 4, n_tiles)
-    off_f = off.reshape(nbg * 4, n_tiles)
-    wins = jax.vmap(lambda row, bs: jax.vmap(
-        lambda b: jax.lax.dynamic_slice(row, (b,), (wx,)))(bs))(
-            ev2, sb_f)                                      # [nbg*4,T,wx]
-
-    locw = (wins[..., :-1] + wins[..., 1:]) / 2.0 / fs_a    # [.,T,wx-1]
-    itvw = fs_a / (wins[..., 1:] - wins[..., :-1])
-    x0r = locw[..., :wc]
-    slope = (itvw[..., 1:wc + 1] - itvw[..., :wc]) \
-        / (locw[..., 1:wc + 1] - locw[..., :wc])
-    slope = jnp.where(jnp.isfinite(slope), slope, 0.0)
-    y0r = jnp.where(jnp.isfinite(itvw[..., :wc]), itvw[..., :wc], 0.0)
-    x0s = jnp.where(jnp.isfinite(x0r), x0r, 0.0)
-    ffw = jnp.ceil(locw[..., :wc] * grid_hz)                # [.,T,wc]
-
-    rows = jnp.arange(wc, dtype=jnp.int32)
-    # rows below the count base are already inside cb; don't double-count
-    in_cnt = rows[None, None, :] >= off_f[..., None]        # [.,T,wc]
-    fgrid = (jnp.arange(n_tiles * 128, dtype=dt)
-             .reshape(n_tiles, 128))                        # [T, 128]
-    cmp = (in_cnt[..., None]
-           & (ffw[..., :, None] <= fgrid[None, :, None, :]))
-    nle = (sb_f + off_f)[..., None] + jnp.sum(
-        cmp.astype(jnp.int32), axis=2)                      # [.,T,128]
-    sh = seg_hi.reshape(nbg * 4)[:, None, None]
-    d = jnp.clip(nle, 1, sh) - 1
-    oh = (rows[None, None, :, None] + sb_f[..., None, None]) \
-        == d[..., None, :]                                  # [.,T,wc,128]
-    A = jnp.sum(jnp.where(oh, y0r[..., None], 0.0), axis=2)
-    X = jnp.sum(jnp.where(oh, x0s[..., None], 0.0), axis=2)
-    B = jnp.sum(jnp.where(oh, slope[..., None], 0.0), axis=2)
-    vals = A + (fgrid[None] / grid_hz - X) * B              # [.,T,128]
-    cand = jnp.sum(vals.reshape(nbg, 4, n_tiles * 128), axis=1) / 4.0
-    return jnp.where(usable[:, None], cand, 0.0)
-
-
-#: A/B knobs (tools/ab.py): bands fused per grid cell, band-group count,
-#: and merge-sweep formulation (paint=1 -> interval-cover masked sum).
-#: Values come validated from the central registry (worldtpu.flags) at
-#: import time; the per-call rb=/groups= parameters override them.
+#: A/B knobs (tools/zc_ab.py): bands fused per grid cell and band-group
+#: count.  Values come validated from the central registry (worldtpu.flags)
+#: at import time; the per-call rb=/groups= parameters override them.
 _RB = FLAGS.zc_rb
 _NGROUPS = FLAGS.zc_groups
-_PAINT = FLAGS.zc_paint
 
 
 def capacity_violations(filt, geo, *, groups=None):
@@ -630,19 +545,31 @@ def capacity_violations(filt, geo, *, groups=None):
         ev_v += jnp.sum((t > gg.e_cap - gg.c_row).astype(jnp.int32))
         col_v += jnp.sum((c > gg.c_row).astype(jnp.int32))
         # the sweep guarantees coverage for <= win - 8 locations per
-        # 128-frame tile (the 8 is the carried base's quantization lead)
+        # frame tile of ft*128 frames (the 8 is the carried base's
+        # quantization lead); fold the per-128 counts to the group's tile
+        ft = getattr(gg, "ft", 1)
+        if ft > 1:
+            n_t = w.shape[2]
+            n_p = -(-n_t // ft) * ft
+            w = jnp.pad(w, ((0, 0), (0, 0), (0, n_p - n_t)))
+            w = jnp.sum(w.reshape(w.shape[0], 4, n_p // ft, ft), axis=3)
         win_v += jnp.sum((w > gg.win - 8).astype(jnp.int32))
     return jnp.stack([ev_v, col_v, win_v])
 
 
 def band_candidates_pallas(filt, geo, *, bounds=None, groups=None,
-                           interpret=False, rb=None, sweep="kernel"):
+                           interpret=False, rb=None, phase1_only=False,
+                           p1_mode="full"):
     """Raw candidate contours [nb, F] from band-filtered signals [nb, L].
 
     Drop-in replacement for vmap(_band_candidates) over the filter bank
     output (production f32 path only).  bounds (array, default the full
     geo.boundary_f0) and groups (static, default make_groups(geo)) are
-    overridable so a band-parallel shard can run its strided subset."""
+    overridable so a band-parallel shard can run its strided subset.
+    phase1_only/p1_mode are measurement hooks (tools/zc_ab.py): run just
+    the event-compaction kernel so its wall can be attributed separately
+    from the merge-sweep (a dense-XLA sweep over the phase-1 buffers was
+    measured 4x slower with quality drift and deleted, r4/r5 A/B)."""
     nb, y_len = filt.shape
     assert y_len == geo.y_length
     if rb is None:
@@ -661,19 +588,24 @@ def band_candidates_pallas(filt, geo, *, bounds=None, groups=None,
 
     outs = []
     for g in groups:
-        if sweep == "xla":
+        if phase1_only:
             ev, ccol = _zc_events_call(
                 filt_T[g.lo:g.hi], y_length=y_len, stot=stot,
-                e_cap=g.e_cap, c_row=g.c_row, interpret=interpret, rb=rb)
-            raw = _sweep_xla(ev, ccol, geo=geo, group=g, f_pad=f_pad)
-            outs.append(raw[:, :F])
-        else:
-            raw = _zc_group_call(
-                filt_T[g.lo:g.hi], y_length=y_len, stot=stot, f_pad=f_pad,
-                e_cap=g.e_cap, c_row=g.c_row, win=g.win,
-                fs_a=float(geo.actual_fs), interpret=interpret, rb=rb,
-                grid_hz=1000.0 / geo.grid_ms, paint=_PAINT)
-            outs.append(raw[:, 0, :F])
+                e_cap=g.e_cap, c_row=g.c_row, interpret=interpret, rb=rb,
+                mode=p1_mode)
+            # cheap reduce keeps XLA from eliding the kernel
+            outs.append(jnp.broadcast_to(
+                jnp.sum(jnp.where(jnp.isfinite(ev), ev, 0.0),
+                        axis=(1, 2))[:, None]
+                + jnp.sum(ccol, axis=(1, 2))[:, None],
+                (g.hi - g.lo, F)))
+            continue
+        raw = _zc_group_call(
+            filt_T[g.lo:g.hi], y_length=y_len, stot=stot, f_pad=f_pad,
+            e_cap=g.e_cap, c_row=g.c_row, win=g.win,
+            fs_a=float(geo.actual_fs), interpret=interpret, rb=rb,
+            grid_hz=1000.0 / geo.grid_ms, ft=getattr(g, "ft", 1))
+        outs.append(raw[:, 0, :F])
     cand = jnp.concatenate(outs, axis=0)                 # [nb, F] means
 
     b = bounds[:, None]

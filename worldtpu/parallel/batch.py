@@ -98,7 +98,7 @@ def batch_copy_synthesis(x, f0, tpos, noise, *, fs, fft_size,
         (y [B, out_length], spec [B, F, K], ap [B, F, K]); with
         ``return_overflow`` a trailing [B] bool marking utterances whose
         true pulse count exceeded the static ``max_pulses`` bound (tail
-        pulses dropped — callers resize+rerun, see api.Synthesis.compute).
+        pulses dropped — callers resize+rerun, see api.World.copy_synthesis).
     """
     def syn_fn(xb, f0b, nb, specb, apb):
         y, ovf = jax.vmap(lambda fi, si, ai, ni: _syn.synthesis_frames_impl(
@@ -256,7 +256,7 @@ def batch_harvest_device_stages(x, *, geo, mesh, chunk=32, use_zc=None,
                 r_l, s_l = refine_stage_pallas(
                     y, c_l, t_l, geo=geo_k,
                     interpret=(use_refine == "interpret"),
-                    dedup_tol=_hv.REFINE_DEDUP_TOL, gp=_hv.REFINE_GP,
+                    dedup_tol=_hv.REFINE_DEDUP_TOL,
                     gf=_hv.REFINE_GF)
             else:
                 r_l, s_l = _hv.refine_stage(y, c_l, t_l, geo=geo_k,

@@ -794,6 +794,6 @@ if __name__ == "__main__":
         sys.stderr.write("bench: retrying with Pallas kernels disabled\n")
         env = dict(os.environ, WORLDTPU_BENCH_FALLBACK="1",
                    WORLDTPU_ZC="0", WORLDTPU_REFINE="0", WORLDTPU_OLA="0",
-                   WORLDTPU_BENCH_KERNEL_PARITY="0")
+                   WORLDTPU_EXTEND="0", WORLDTPU_BENCH_KERNEL_PARITY="0")
         r = subprocess.run([sys.executable, __file__], env=env)
         sys.exit(r.returncode)

@@ -50,7 +50,7 @@ def test_flag_defaults_parse(monkeypatch):
             monkeypatch.delenv(k)
     f = Flags.from_env()
     assert f.conv == "matmul" and f.dft == "fft" and f.grid_ms == 1
-    assert f.zc_rb == 2 and f.zc_groups == 5
+    assert f.zc_rb == 2 and f.zc_groups == 10
     assert f.refine_gf == 8
 
 

@@ -44,6 +44,13 @@ from worldtpu.parallel import batch as B
 REF_F0 = pathlib.Path(__file__).with_name("ab_f0_ref.npy")
 
 
+def _sync(out):
+    """Host scalar fetch: under the axon tunnel block_until_ready can
+    return early once per process (verify skill)."""
+    for lf in jax.tree_util.tree_leaves(out):
+        np.asarray(jax.device_get(jnp.ravel(lf)[:1]))
+
+
 def main():
     reps = int(os.environ.get("AB_REPS", "6"))
     fs = 22050
@@ -87,7 +94,7 @@ def main():
     for _ in range(2):
         t0 = time.time()
         outs = [run() for _ in range(reps)]
-        jax.block_until_ready(outs[-1])
+        _sync(outs[-1])
         walls.append((time.time() - t0) / reps)
     wall = min(walls)
 

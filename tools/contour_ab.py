@@ -26,6 +26,14 @@ from worldtpu.analysis import contour_device as CDV
 from worldtpu.ops.refine_kernel import refine_stage_pallas
 
 
+def _sync(out):
+    """Force completion via a tiny host fetch: under the axon tunnel,
+    block_until_ready can return early once per process (verify skill)."""
+    leaves = jax.tree_util.tree_leaves(out)
+    for lf in leaves:
+        np.asarray(jax.device_get(jnp.ravel(lf)[:1]))
+
+
 def wall(fn, args, reps):
     out = fn(*args)
     jax.block_until_ready(out)
@@ -34,7 +42,7 @@ def wall(fn, args, reps):
         t0 = time.time()
         for _ in range(reps):
             out = fn(*args)
-        jax.block_until_ready(out)
+        _sync(out)
         best = min(best, (time.time() - t0) / reps)
     return best * 1e3
 

@@ -35,6 +35,14 @@ from worldtpu.synthesis import synthesis as S
 from worldtpu.parallel import batch as B
 
 
+def _sync(out):
+    """Force completion via a tiny host fetch: under the axon tunnel,
+    block_until_ready can return early once per process (verify skill)."""
+    leaves = jax.tree_util.tree_leaves(out)
+    for lf in leaves:
+        np.asarray(jax.device_get(jnp.ravel(lf)[:1]))
+
+
 def wall(fn, x, reps):
     out = fn(x)
     jax.block_until_ready(out)
@@ -43,7 +51,7 @@ def wall(fn, x, reps):
         t0 = time.time()
         for _ in range(reps):
             out = fn(x)
-        jax.block_until_ready(out)
+        _sync(out)
         best = min(best, (time.time() - t0) / reps)
     return best * 1e3
 

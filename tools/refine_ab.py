@@ -28,6 +28,14 @@ from worldtpu.analysis import harvest as H
 from worldtpu.ops.refine_kernel import refine_stage_pallas
 
 
+def _sync(out):
+    """Force completion via a tiny host fetch: under the axon tunnel,
+    block_until_ready can return early once per process (verify skill)."""
+    leaves = jax.tree_util.tree_leaves(out)
+    for lf in leaves:
+        np.asarray(jax.device_get(jnp.ravel(lf)[:1]))
+
+
 def wall(fn, args, reps):
     """Amortized per-dispatch wall; each rep gets a distinct first-arg
     value (repeated identical dispatches can be memoized upstream)."""
@@ -41,7 +49,7 @@ def wall(fn, args, reps):
     for _ in range(2):
         t0 = time.time()
         outs = [fn(yi, cand) for yi in ys]
-        jax.block_until_ready(outs)
+        _sync(outs[-1])
         best = min(best, (time.time() - t0) / reps)
     return best * 1e3, out0
 

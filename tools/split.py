@@ -36,6 +36,13 @@ from worldtpu.synthesis import synthesis as S
 from worldtpu.parallel import batch as B
 
 
+def _sync(out):
+    """Host scalar fetch: under the axon tunnel block_until_ready can
+    return early once per process (verify skill)."""
+    for lf in jax.tree_util.tree_leaves(out):
+        np.asarray(jax.device_get(jnp.ravel(lf)[:1]))
+
+
 def main():
     reps = int(os.environ.get("AB_REPS", "8"))
     fs = 22050
@@ -128,7 +135,7 @@ def main():
         for _ in range(2):
             t0 = time.time()
             outs = [fn(x_dev, noise) for _ in range(reps)]
-            jax.block_until_ready(outs[-1])
+            _sync(outs[-1])
             w = (time.time() - t0) / reps
             best = w if best is None else min(best, w)
         walls[upto] = best * 1e3

@@ -31,6 +31,14 @@ from worldtpu.analysis import harvest as H
 from worldtpu.ops import zc_kernel as Z
 
 
+def _sync(out):
+    """Force completion via a tiny host fetch: under the axon tunnel,
+    block_until_ready can return early once per process (verify skill)."""
+    leaves = jax.tree_util.tree_leaves(out)
+    for lf in leaves:
+        np.asarray(jax.device_get(jnp.ravel(lf)[:1]))
+
+
 def wall(fn, x, reps):
     """Amortized per-dispatch wall.  Each rep gets a DISTINCT input value
     (x * (1 + i*1e-7)): repeated identical (program, args) dispatches can
@@ -45,7 +53,9 @@ def wall(fn, x, reps):
     for _ in range(2):
         t0 = time.time()
         outs = [fn(xi) for xi in xs]
-        jax.block_until_ready(outs)
+        # host scalar fetch: block_until_ready can return early once per
+        # process under the axon tunnel (see .claude/skills/verify)
+        _sync(outs[-1])
         best = min(best, (time.time() - t0) / reps)
     return best * 1e3, out0
 

@@ -85,16 +85,27 @@ class Flags:
     #: WORLDTPU_OLA: synthesis overlap-add — Pallas kernel vs jnp scatter.
     ola: object = None
 
+    #: WORLDTPU_EXTEND: contour extendF0 walk — Pallas micro-loop kernel
+    #: (1) vs the XLA while_loop walk (default).  r5 device A/B: the
+    #: kernel measured SLOWER in every layout tried (27-29 vs 19.8
+    #: ms/batch fix_step3) despite the while_loop's ~0.17 ms/step floor —
+    #: slab materialization + dispatch overhead exceed the loop savings.
+    extend: object = None
+
     #: WORLDTPU_ZC_RB: bands fused per zc grid cell (independent serial
     #: chains per loop body).  r3 A/B chose 2 (r5 re-measure: rb1/rb2/rb4
     #: within 3%).
     zc_rb: int = 2
 
     #: WORLDTPU_ZC_GROUPS: band-group count (shared crossing-rate caps).
+    #: r5 device A/B (post independent-offset stores): groups10 = 57.6 ms
+    #: vs groups5 = 61.5 on the config-5 batch (tighter per-group caps),
+    #: raw-candidate divergence frac 0.0007 (knife-edge gate flips in
+    #: junk bands, end-to-end F0 gated in bench kernel-parity).
     #: (Deleted knobs, kept out of the matrix: ZC_SWEEP=xla — dense-XLA
     #: sweep, 4x slower with 16 Hz drift, r4; ZC_PAINT — interval-cover
     #: sweep, 14% slower, r5.)
-    zc_groups: int = 5
+    zc_groups: int = 10
 
     #: WORLDTPU_REFINE_GF: frames per refine-kernel grid cell (amortizes
     #: per-cell DMA/setup; r2 chose 8 over 1; r5 device A/B: gf16 flat
@@ -136,8 +147,9 @@ class Flags:
             zc=_kernel_switch("WORLDTPU_ZC"),
             refine=_kernel_switch("WORLDTPU_REFINE"),
             ola=_kernel_switch("WORLDTPU_OLA"),
+            extend=_kernel_switch("WORLDTPU_EXTEND"),
             zc_rb=_int_min("WORLDTPU_ZC_RB", 2, 1),
-            zc_groups=_int_min("WORLDTPU_ZC_GROUPS", 5, 1),
+            zc_groups=_int_min("WORLDTPU_ZC_GROUPS", 10, 1),
             refine_gf=_int_min("WORLDTPU_REFINE_GF", 8, 1),
             conv=_choice("WORLDTPU_CONV", "matmul", {"conv", "matmul"}),
             conv_precision=_PRECISIONS[_choice(

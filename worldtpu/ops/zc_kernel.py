@@ -186,9 +186,10 @@ def _zc_group_kernel(filt_ref, out_ref, colbuf, cnt_smem, *,
         # masked prefix reduce over the per-column counts — no carried
         # offset chain at all (r5 burst: carried-within-tile 35.5 ms vs
         # independent 29.3 ms on the events kernel; the stores are ~60%
-        # of phase 1), and empty columns are SKIPPED under pl.when
-        # (safe: each nonempty store writes its own c_row window with an
-        # inf tail, and the buffer is inf-initialized).
+        # of phase 1).  Stores stay UNCONDITIONAL: an empty column writes
+        # c_row infs at `off` without advancing it — the next nonempty
+        # column overwrites them (predicating them under pl.when was
+        # measured ~4x slower for the whole kernel, r5 burst 3).
         # NOTE: a prefix-scan + dynamic-roll block compaction (one slab
         # store per 8 columns) was tried and is ~40% SLOWER — 8 dynamic
         # sublane rotations cost more than 8 small stores — and needs
@@ -198,17 +199,12 @@ def _zc_group_kernel(filt_ref, out_ref, colbuf, cnt_smem, *,
             tile = tiles[t]
             for j in range(8):
                 col = tile[:, j:j + 1]
-                rc = jnp.sum((col > 0.0).astype(jnp.int32),
-                             dtype=jnp.int32)
                 off = jnp.sum(
                     jnp.where(lane_s8 < 8 * s + j, ccols[t], 0.0),
                     dtype=dt).astype(jnp.int32)
-
-                @pl.when(rc > 0)
-                def _store(col=col, off=off, t=t):
-                    o = jnp.minimum(off, e_cap - c_row)
-                    colbuf[pl.ds(o, c_row), t:t + 1] = jnp.where(
-                        col > 0.0, col, jnp.inf)
+                o = jnp.minimum(off, e_cap - c_row)
+                colbuf[pl.ds(o, c_row), t:t + 1] = jnp.where(
+                    col > 0.0, col, jnp.inf)
             new_tiles.append(pltpu.roll(tile, s8 - 8, axis=1))
         return tuple(new_tiles)
 

@@ -70,8 +70,24 @@ def _time_base(f0, fs, frame_period_s, out_length, lowest_f0, max_pulses):
     coarse_t = jnp.arange(F + 1, dtype=dt) * frame_period_s
 
     t = jnp.arange(T, dtype=dt) / fs
-    f0i = interp1(coarse_t, coarse_f0, t)
-    vuvi = interp1(coarse_t, coarse_vuv, t)
+    if dt == jnp.float64:
+        f0i = interp1(coarse_t, coarse_f0, t)
+        vuvi = interp1(coarse_t, coarse_vuv, t)
+    else:
+        # production path: the knot grid IS uniform (j * frame_period), so
+        # the histc binary search collapses to direct indexing — one shared
+        # segment index for both interps instead of 2x ~10 gather rounds
+        # over T samples.  histc's right-side rule k = searchsorted(right)
+        # equals floor(t/fp)+1 except when t lands exactly on a knot after
+        # f32 rounding — a knife-edge segment flip the f32 path already
+        # tolerates elsewhere (Q32 pulse timing).
+        k = jnp.clip((t / frame_period_s).astype(jnp.int32) + 1, 1, F)
+        x0 = k.astype(dt) * frame_period_s - frame_period_s
+        s = (t - x0) / frame_period_s
+        f0_lo, f0_hi = jnp.take(coarse_f0, k - 1), jnp.take(coarse_f0, k)
+        v_lo, v_hi = jnp.take(coarse_vuv, k - 1), jnp.take(coarse_vuv, k)
+        f0i = f0_lo + s * (f0_hi - f0_lo)
+        vuvi = v_lo + s * (v_hi - v_lo)
     vuvi = jnp.where(vuvi > 0.5, 1.0, 0.0)
     f0i = jnp.where(vuvi == 0.0, C.DEFAULT_F0, f0i)
 

@@ -349,9 +349,15 @@ def main():
         mean0a = jnp.zeros((), jnp.float32)
         wa = amortized_wall(lambda: H1.harvest_device_full(
             x1_dev, mean0a, geo=hk1.geo, n_out=n_out1a, chunk=64))
+        # the dev-tunnel round-trip floor a single cold call pays on its
+        # result fetch (~26 ms here; a local TPU host pays ~none) — lets
+        # the cold number be decomposed into program + transport
+        wf = best_wall(lambda: np.asarray(jnp.sum(x1_dev)))
         configs["1_harvest_3s_16k"] = {
             "rtf": round(3.0 / w, 2),
             "rtf_amortized": round(3.0 / wa, 2),
+            "fetch_floor_ms": round(wf * 1e3, 1),
+            "rtf_cold_minus_fetch": round(3.0 / max(w - wf, 1e-9), 2),
             "cpp_rtf": round(3.0 / ref1["harvest"], 2) if ref1 else None}
 
     if "2" in CONFIGS:
@@ -513,7 +519,8 @@ def main():
     # ---- quality vs reference dumps: >= 4 utterances (synthetic vowel,
     #      diverse speech-shaped, pathological creak/fry/diplophonia, and
     #      a real recording), per-utterance + mean + worst-case ----
-    if dump_bin is not None:
+    if dump_bin is not None \
+            and os.environ.get("WORLDTPU_BENCH_QUALITY", "1") != "0":
         qutts = [("vowel", work / "u16.wav")]
         try:
             p = work / "qdiv.wav"

@@ -523,9 +523,14 @@ def main():
             and os.environ.get("WORLDTPU_BENCH_QUALITY", "1") != "0":
         qutts = [("vowel", work / "u16.wav")]
         try:
+            # seed 102: the reference BINARY segfaults/aborts on several
+            # diverse seeds (101/103 segv, 105 abort — a C++ Harvest
+            # overrun on silence-heavy multi-section audio that worldtpu
+            # handles; see ROADMAP r5); quality needs a seed the oracle
+            # survives
             p = work / "qdiv.wav"
             wav_io.wavwrite(
-                p, synth_utterance_diverse(fs1, 101).astype(np.float64),
+                p, synth_utterance_diverse(fs1, 102).astype(np.float64),
                 fs1)
             qutts.append(("diverse", p))
             p = work / "qpath.wav"
@@ -535,7 +540,12 @@ def main():
                 fs1)
             qutts.append(("pathological", p))
             if REAL_RECORDING.exists():
-                qutts.append(("real_recording", REAL_RECORDING))
+                # transcode: the C++ wav reader rejects the original 8-bit
+                # container variant; rewrite preserves the recorded content
+                xr, fsr, _ = wav_io.wavread(REAL_RECORDING)
+                p = work / "qreal.wav"
+                wav_io.wavwrite(p, np.asarray(xr, np.float64), fsr)
+                qutts.append(("real_recording", p))
         except Exception:
             pass
 

@@ -41,7 +41,7 @@ def test_f64_falls_back_to_fft():
 
 
 def test_engines_mm_mode_parity():
-    """CheapTrick/D4C/synthesis under WORLDTPU_DFT=mm match the fft mode
+    """CheapTrick/D4C/synthesis with dft.MODE="mm" match the fft mode
     within f32 noise (full fixture pipeline)."""
     from worldtpu.io import wav, params
     import worldtpu.analysis.cheaptrick as CTK

@@ -34,8 +34,6 @@ REPO = pathlib.Path(__file__).resolve().parents[1]
     ("WORLDTPU_REFINE_GF", "0"),
     ("WORLDTPU_CONV", "fft"),
     ("WORLDTPU_CONV_PRECISION", "bf16"),
-    ("WORLDTPU_DFT", "matmul"),
-    ("WORLDTPU_DFT_PRECISION", "hi"),
     ("WORLDTPU_GRID_MS", "0"),
 ])
 def test_flag_validation_rejects(monkeypatch, name, value):
@@ -49,7 +47,7 @@ def test_flag_defaults_parse(monkeypatch):
         if k.startswith("WORLDTPU_"):
             monkeypatch.delenv(k)
     f = Flags.from_env()
-    assert f.conv == "matmul" and f.dft == "fft" and f.grid_ms == 1
+    assert f.conv == "matmul" and f.grid_ms == 1
     assert f.zc_rb == 2 and f.zc_groups == 10
     assert f.refine_gf == 8
 
@@ -57,11 +55,10 @@ def test_flag_defaults_parse(monkeypatch):
 def test_flag_accepts_supported(monkeypatch):
     monkeypatch.setenv("WORLDTPU_ZC", "interpret")
     monkeypatch.setenv("WORLDTPU_CONV", "conv")
-    monkeypatch.setenv("WORLDTPU_DFT", "mm")
     monkeypatch.setenv("WORLDTPU_GRID_MS", "2")
     monkeypatch.setenv("WORLDTPU_REFINE_GF", "16")
     f = Flags.from_env()
-    assert f.zc == "interpret" and f.conv == "conv" and f.dft == "mm"
+    assert f.zc == "interpret" and f.conv == "conv"
     assert f.grid_ms == 2 and f.refine_gf == 16
 
 
@@ -91,7 +88,6 @@ print("RESULT" + json.dumps(list(map(float, np.asarray(f0_out)))))
 _COMBOS = [
     {},                                        # defaults
     {"WORLDTPU_CONV": "conv"},
-    {"WORLDTPU_DFT": "mm"},
     {"WORLDTPU_ZC_RB": "1", "WORLDTPU_ZC_GROUPS": "8"},
     {"WORLDTPU_REFINE_GF": "16"},
 ]

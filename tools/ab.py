@@ -17,7 +17,7 @@ quality gates).
 Drive it per-combo from a shell loop; knobs are module-level so each combo
 needs a fresh process:
 
-    for c in "" "WORLDTPU_CONV=matmul" "WORLDTPU_DFT=mm"; do
+    for c in "" "WORLDTPU_CONV=conv" "WORLDTPU_ZC_GROUPS=5"; do
         env $c python tools/ab.py; done
 """
 

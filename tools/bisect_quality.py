@@ -31,6 +31,10 @@ COMBOS = [
     ("refine=0", {"WORLDTPU_REFINE": "0"}),
     ("conv=conv,dedup=0", {"WORLDTPU_CONV": "conv",
                            "WORLDTPU_BISECT_DEDUP": "0"}),
+    # stronger dedup (r5: dedup HELPS C++ fidelity — probe how far)
+    ("dedup=0.008", {"WORLDTPU_BISECT_DEDUP": "0.008"}),
+    ("dedup=0.012", {"WORLDTPU_BISECT_DEDUP": "0.012"}),
+    ("dedup=0.02", {"WORLDTPU_BISECT_DEDUP": "0.02"}),
 ]
 
 

@@ -93,15 +93,21 @@ def main():
             return r, s
         return f
 
+    def variant_tol(tol):
+        @jax.jit
+        def f(yb, cb):
+            def one(yi, ci):
+                return refine_stage_pallas(yi, ci, tposk, geo=geo_k,
+                                           dedup_tol=tol)
+            r, s = jax.vmap(one)(yb, cb)
+            return r, s
+        return f
+
     variants = [
         ("gf8_gp1", variant(gf=8, gp=1)),
-        ("gf16_gp1", variant(gf=16, gp=1)),
-        ("gf8_gp2", variant(gf=8, gp=2)),
-        ("gf16_gp2", variant(gf=16, gp=2)),
-        ("gf32_gp2", variant(gf=32, gp=2)),
-        ("gf16_gp4", variant(gf=16, gp=4)),
-        ("gf8_gp1_p16", variant(gf=8, gp=1, pairs=16)),
-        ("gf8_gp1_slowtrig", variant(gf=8, gp=1, fast_trig=False)),
+        ("dedup_008", variant_tol(0.008)),
+        ("dedup_012", variant_tol(0.012)),
+        ("dedup_020", variant_tol(0.020)),
     ]
 
     ref = None

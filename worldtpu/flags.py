@@ -127,13 +127,11 @@ class Flags:
     #: neutral at voicing knife edges — keep default (bf16x3-free).
     conv_precision: object = _PRECISIONS["default"]
 
-    #: WORLDTPU_DFT: engine FFT routing — "fft" (jnp.fft) or "mm"
-    #: (matmul-DFT drop-ins, ops/dft.py).
-    dft: str = "fft"
-
-    #: WORLDTPU_DFT_PRECISION: matmul-DFT basis precision (feeds power
-    #: spectra/cepstra/audio; bf16 input rounding is audible -> highest).
-    dft_precision: object = _PRECISIONS["highest"]
+    #: (Deleted knobs: WORLDTPU_DFT=mm — matmul-DFT engine FFTs; twice
+    #: measured noise-level at 22.05 kHz (r4 235.8 vs 238.3, r5 216.6 vs
+    #: 217.8 ms/batch) and infeasible at 48 kHz (basis constants exceed
+    #: the remote-compile size limit); ops/dft.py keeps the per-call
+    #: mode="mm" utility.  WORLDTPU_DFT_PRECISION went with it.)
 
     #: WORLDTPU_GRID_MS: internal candidate/refine grid period (ms) for
     #: the f32 path.  2 halves per-frame cost but costs voicing-boundary
@@ -154,9 +152,6 @@ class Flags:
             conv=_choice("WORLDTPU_CONV", "matmul", {"conv", "matmul"}),
             conv_precision=_PRECISIONS[_choice(
                 "WORLDTPU_CONV_PRECISION", "default", set(_PRECISIONS))],
-            dft=_choice("WORLDTPU_DFT", "fft", {"fft", "mm"}),
-            dft_precision=_PRECISIONS[_choice(
-                "WORLDTPU_DFT_PRECISION", "highest", set(_PRECISIONS))],
             grid_ms=_int_min("WORLDTPU_GRID_MS", 1, 1),
         )
 

@@ -10,11 +10,15 @@ already uses the same trick with a shared global-grid basis
 (analysis/harvest.py _refine_chunk); this module generalizes it to plain
 rfft/irfft drop-ins.
 
-Routing is opt-in per call site via `mode` (module default from
-WORLDTPU_DFT: "fft" = jnp.fft, "mm" = matmul).  Bases are f32 and cached
-per transform size; precision defaults to HIGHEST (exact f32 — the
-transforms feed power spectra, cepstra, and audio, where bf16 input
-rounding is audible) and is overridable via WORLDTPU_DFT_PRECISION.
+Routing is opt-in PER CALL via `mode` ("mm"); the module default is the
+jnp.fft path.  The WORLDTPU_DFT env knob was deleted in r5: the mm route
+measured noise-level end to end at 22.05 kHz twice (r4: 235.8 vs 238.3
+ms/batch; r5: 216.6 vs 217.8) and is infeasible for the 48 kHz config
+(the baked cos/sin basis constants exceed the remote-compile request
+limit).  The code stays as a tested utility for future per-engine use.
+Bases are f32 and cached per transform size; precision is HIGHEST (exact
+f32 — the transforms feed power spectra, cepstra, and audio, where bf16
+input rounding is audible).
 """
 
 from __future__ import annotations
@@ -25,12 +29,9 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from worldtpu.flags import FLAGS
-
-# module-level and mutable for tests that toggle the route around a call;
-# processes set WORLDTPU_DFT(_PRECISION) before import (see worldtpu.flags)
-MODE = FLAGS.dft
-PRECISION = FLAGS.dft_precision
+# module-level and mutable for tests that toggle the route around a call
+MODE = "fft"
+PRECISION = jax.lax.Precision.HIGHEST
 
 
 @functools.lru_cache(maxsize=16)

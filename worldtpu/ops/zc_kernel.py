@@ -107,7 +107,7 @@ def make_groups(geo, n_groups=5, stride=1, win_round=8, ft=None):
     return tuple(out)
 
 
-def _zc_group_kernel(filt_ref, out_ref, colbuf, cnt_smem, *,
+def _zc_group_kernel(filt_ref, out_ref, colbuf, wbuf, cnt_smem, *,
                      y_length, stot, f_pad, e_cap, c_row, win, fs_a,
                      n_frames_tiles, rb=1, grid_hz=1000.0, ft=1):
     """``rb`` bands per grid cell.  filt_ref [rb, 128, Stot], out
@@ -238,29 +238,39 @@ def _zc_group_kernel(filt_ref, out_ref, colbuf, cnt_smem, *,
         # four contributions land in ONE output write per tile.
         fgrid = (FW * fti + laneFW).astype(dt)
         vals_sums = [jnp.zeros((1, FW), dt) for _ in range(rb)]
+        # window prep (locations / intervals / slopes / frame starts) for
+        # ALL chains jointly on [wext, nch] tiles instead of nch separate
+        # 1-lane arrays (1/128 lane utilization was ~40% of the sweep):
+        # copy each chain's window into the shared scratch, then one
+        # vectorized prep pass; chains read back static lane slices.
+        jb0s = [jnp.clip(jbs[t] - 8, 0, e_cap - wext - 8)
+                for t in range(nch)]
+        for t in range(nch):
+            wbuf[:, t:t + 1] = colbuf[pl.ds(jb0s[t], wext + 8), t:t + 1]
+        colw_a = wbuf[...]                                  # [wext+8, nch]
+        locw_a = (colw_a[:wext + 1] + colw_a[1:wext + 2]) / 2.0 / fs_a
+        itvw_a = fs_a / (colw_a[1:wext + 2] - colw_a[:wext + 1])
+        # interpolation as per-SEGMENT-row slope (3 masked sums instead
+        # of 4): vals = y0 + (t - x0) * s with s precomputed per row,
+        # anchored at the selected row's own x0 (no cancellation even for
+        # pathological slopes).  Rows at/after the last location have
+        # inf/NaN slope -> sanitized (never selected by oh).
+        slope_a = (itvw_a[1:wext + 1] - itvw_a[:wext]) \
+            / (locw_a[1:wext + 1] - locw_a[:wext])
+        slope_a = jnp.where(jnp.isfinite(slope_a), slope_a, 0.0)
+        y0r_a = jnp.where(jnp.isfinite(itvw_a[:wext]), itvw_a[:wext], 0.0)
+        x0s_a = jnp.where(jnp.isfinite(locw_a[:wext]), locw_a[:wext], 0.0)
+        ffw_a = jnp.ceil(locw_a[:wext] * grid_hz)
+
         new_jbs = []
         for t in range(nch):
             jb = jbs[t]
-            jb0 = jnp.clip(jb - 8, 0, e_cap - wext - 8)
+            jb0 = jb0s[t]
             off = jb - jb0                                  # 0 or 8
-            colw = colbuf[pl.ds(jb0, wext + 8), t:t + 1]    # [wext+8, 1]
-            locw = (colw[:wext + 1] + colw[1:wext + 2]) / 2.0 / fs_a
-            itvw = fs_a / (colw[1:wext + 2] - colw[:wext + 1])
-            # interpolation as per-SEGMENT-row slope (3 masked sums
-            # instead of 4): vals = y0 + (t - x0) * s with
-            # s = (y1-y0)/(x1-x0) precomputed per row.  The product stays
-            # anchored at the selected row's own x0, so no cancellation
-            # even for pathological slopes (adjacent-sample events give
-            # |s| up to ~3e7).  Rows at/after the last location have
-            # inf/NaN slope -> sanitized (never selected by oh).
-            x0r = locw[:wext]
-            slope = (itvw[1:wext + 1] - itvw[:wext]) \
-                / (locw[1:wext + 1] - locw[:wext])
-            slope = jnp.where(jnp.isfinite(slope), slope, 0.0)
-            y0r = jnp.where(jnp.isfinite(itvw[:wext]), itvw[:wext], 0.0)
-            x0s = jnp.where(jnp.isfinite(x0r), x0r, 0.0)
-
-            ffw = jnp.ceil(locw[:wext] * grid_hz)
+            slope = slope_a[:, t:t + 1]
+            y0r = y0r_a[:, t:t + 1]
+            x0s = x0s_a[:, t:t + 1]
+            ffw = ffw_a[:, t:t + 1]
             # count + one-hot selection (an interval-cover "paint"
             # formulation that drops the count reduce was measured ~14%
             # SLOWER on device, r5 burst 1 — deleted)
@@ -321,6 +331,7 @@ def _zc_group_call(filt_T, *, y_length, stot, f_pad, e_cap, c_row, win,
         out_shape=jax.ShapeDtypeStruct((nbp, 8, f_pad), jnp.float32),
         scratch_shapes=[
             pltpu.VMEM((e_cap, 4 * rb), jnp.float32),
+            pltpu.VMEM((win + 16, 4 * rb), jnp.float32),
             pltpu.SMEM((4 * rb,), jnp.int32),
         ],
         interpret=interpret,

@@ -105,9 +105,9 @@ def main():
 
     variants = [
         ("gf8_gp1", variant(gf=8, gp=1)),
-        ("dedup_008", variant_tol(0.008)),
-        ("dedup_012", variant_tol(0.012)),
-        ("dedup_020", variant_tol(0.020)),
+        ("noout", variant(ablate=("noout",))),
+        ("noseed", variant(ablate=("noseed",))),
+        ("noout_noseed", variant(ablate=("noout", "noseed"))),
     ]
 
     ref = None

@@ -45,15 +45,16 @@ def _sync(out):
 
 def main():
     reps = int(os.environ.get("AB_REPS", "8"))
-    fs = 22050
-    n_utts = 8
+    fs = int(os.environ.get("AB_FS", "22050"))
+    n_utts = int(os.environ.get("AB_UTTS", "8"))
     xs = np.stack([
         np.pad(synth_utterance(fs, 3.0, 160.0 + 15 * i, i),
                (0, 4096 * ((3 * fs + 4095) // 4096) - 3 * fs))
         for i in range(n_utts)]).astype(np.float32)
     T = xs.shape[1]
 
-    pitch_scale, dur_scale = 1.2, 1.25
+    pitch_scale = float(os.environ.get("AB_PITCH", "1.2"))
+    dur_scale = float(os.environ.get("AB_DUR", "1.25"))
     ck = CheapTrickKernel(fs)
     hk = HarvestKernel(fs, T, f0_floor=40.0)
     geo = hk.geo

@@ -371,7 +371,11 @@ def d4c_frames(x, f0, temporal_positions, *, fs, fft_size_out, threshold=0.85,
     seg = jnp.stack(
         [sgd[:, c - half_w:c - half_w + window_length] for c in centers],
         axis=1) * nuttall[None, None, :]                      # [F, B, Wl]
-    spec_b = dft.rfft(seg, n=fft_d4c)                # [F,B,Kd]
+    # true-width matmul-DFT: the window spans only ~12-38% of fft_d4c, so
+    # the [Wl, 2K] basis product beats the n-point XLA FFT (r5: the
+    # coarse-band FFT dominates D4C at 48 kHz where Wl/n = 1025/8192;
+    # mode="mm" is f32-only — the f64 parity path stays on jnp.fft)
+    spec_b = dft.rfft(seg, n=fft_d4c, mode="mm")     # [F,B,Kd]
     ps_b = (spec_b.real ** 2 + spec_b.imag ** 2).astype(dt)
     if dt == jnp.float64:
         # parity path: the reference's literal sort + ascending cumsum

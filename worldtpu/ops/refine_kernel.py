@@ -48,7 +48,8 @@ def _matlab_round(x):
 
 def _refine_frame_kernel(f0_ref, seg_ref, out_ref, *,
                          hwmax, n_fft, max_fft_index, fs_a, f0_dummy,
-                         delta_row, gf, pairs=8, gp=1, fast_trig=True):
+                         delta_row, gf, pairs=8, gp=1, fast_trig=True,
+                         ablate=()):
     f32 = jnp.float32
     if fast_trig:
         # seed angles only need ~1e-6 (the rotation chains drift that much
@@ -130,6 +131,12 @@ def _refine_frame_kernel(f0_ref, seg_ref, out_ref, *,
         # blocks is ~1e-6, far under the f32 path's tolerance)
         ch0, sh0, cdh, sdh = [], [], [], []
         for h in range(6):
+            if "noseed" in ablate:   # ablation: wrong results, no seeds
+                ch0.append(c0)
+                sh0.append(s0)
+                cdh.append(cd128)
+                sdh.append(sd128)
+                continue
             a0 = (two_pi / n_fft) * ((gbins[h] * m0) % n_fft).astype(f32)
             ch, sh2 = _cossin(a0)
             ch0.append(ch)
@@ -174,6 +181,15 @@ def _refine_frame_kernel(f0_ref, seg_ref, out_ref, *,
             jlo, jhi + 1, block,
             (c0, s0, tuple(ch0), tuple(sh0),
              tuple(jnp.zeros((P, 128), f32) for _ in range(24))))
+        if "noout" in ablate:        # ablation: skip reduce + placement
+            out_ref[fi, pl.ds(P * g, P), :] = accs[0]
+            return carry
+        # r5 ablations: this reduce+place block is ~12 ms of the 50 ms
+        # batch wall (noout 38.5), harmonic seeds ~7 ms but hidden under
+        # block-loop overlap (noout+noseed also 38.5); replacing the 24
+        # lane reductions with ONE [192,128] ones-matmul on the MXU was
+        # SLOWER (55.9 ms — relayout + matmul latency per group).  The
+        # per-group fixed cost is intrinsic to the output contract.
         out = jnp.zeros((P, 128), f32)
         for h in range(6):
             for c, sgn in ((0, 1.0), (1, -1.0), (2, 1.0), (3, -1.0)):
@@ -187,9 +203,10 @@ def _refine_frame_kernel(f0_ref, seg_ref, out_ref, *,
 
 @functools.partial(jax.jit, static_argnames=("geo", "interpret", "pairs",
                                              "dedup_tol", "gf", "gp",
-                                             "fast_trig"))
+                                             "fast_trig", "ablate"))
 def refine_stage_pallas(y, cand, tpos, *, geo, interpret=False, pairs=8,
-                        dedup_tol=0.0, gf=8, gp=1, fast_trig=True):
+                        dedup_tol=0.0, gf=8, gp=1, fast_trig=True,
+                        ablate=()):
     """Adaptive refine for the production f32 path.
 
     Drop-in for `harvest.refine_stage` EXCEPT that refined candidates come
@@ -266,7 +283,7 @@ def refine_stage_pallas(y, cand, tpos, *, geo, interpret=False, pairs=8,
         _refine_frame_kernel, hwmax=hwmax, n_fft=n_fft,
         max_fft_index=geo.max_fft_index, fs_a=fs_a,
         f0_dummy=float(geo.f0_ceil), delta_row=delta_row, gf=GF,
-        pairs=pairs, gp=gp, fast_trig=fast_trig)
+        pairs=pairs, gp=gp, fast_trig=fast_trig, ablate=ablate)
     sums = pl.pallas_call(
         kern,
         grid=(Fp // GF,),

@@ -78,13 +78,46 @@ def test_long_pipeline_matches_unchunked():
 
     assert len(yc) == len(yu) == out_len
     assert np.isfinite(yc).all()
-    d = yc.astype(np.float64) - yu.astype(np.float64)
-    rms = float(np.sqrt((yu.astype(np.float64) ** 2).mean()))
-    rel = float(np.sqrt((d ** 2).mean())) / rms
-    assert rel < 0.01, f"chunked/unchunked rel RMS {rel}"
-    # energy must also agree tightly (a dropped/duplicated pulse would not)
-    assert abs(float(np.sqrt((yc.astype(np.float64) ** 2).mean())) / rms
-               - 1.0) < 0.01
+    _assert_waveforms_match(yc, yu)
+
+
+def _assert_waveforms_match(yc, yu, fs=16000):
+    """Chunked-vs-reference waveform comparison that is robust to the ONE
+    legitimate divergence class: +-1-sample pulse-timing wobble between
+    SEPARATELY-COMPILED programs.  XLA under --xla_allow_excess_precision
+    may contract the same f32 step formula differently per compilation
+    context (standalone jit vs inside lax.scan — verified by recovering
+    the Q32 steps from both), so a Q32 knife-edge wrap can land one sample
+    apart.  In voiced audio that is inaudible and sample-aligned; in
+    NOISE-dominated spans a 1-sample shift decorrelates the waveform
+    (rel ~ sqrt(2)) while leaving its envelope identical.  So:
+
+      - median windowed sample-aligned rel error < 5%: each wobbled
+        pulse (~1-2% of pulses) spreads a localized diff over its
+        fft-length response, so the wobble floor measures ~0.03; a real
+        desync (noise-ordinal shift decorrelates the aperiodic component
+        everywhere downstream) measures 0.2-0.4 — 4x above the gate
+        (measured on the r5 pre-fix bug),
+      - the short-time ENERGY envelope must match < 2% at p95 (catches
+        dropped/duplicated pulses; measured wobble floor 0.0005),
+      - total energy ratio within 1%.
+    """
+    yc = yc.astype(np.float64)
+    yu = yu.astype(np.float64)
+    w = int(0.1 * fs)
+    n = (len(yu) // w) * w
+    dw = np.sqrt(((yc[:n] - yu[:n]).reshape(-1, w) ** 2).mean(axis=1))
+    uw = np.sqrt((yu[:n].reshape(-1, w) ** 2).mean(axis=1))
+    cw = np.sqrt((yc[:n].reshape(-1, w) ** 2).mean(axis=1))
+    floor = np.median(uw) * 1e-3
+    rel_w = dw / np.maximum(uw, floor)
+    med = float(np.median(rel_w))
+    assert med < 0.05, f"median windowed rel {med}"
+    env = np.abs(cw - uw) / np.maximum(uw, floor)
+    p95 = float(np.quantile(env, 0.95))
+    assert p95 < 0.02, f"energy-envelope p95 rel {p95}"
+    assert abs(float(np.sqrt((yc ** 2).mean()))
+               / float(np.sqrt((yu ** 2).mean())) - 1.0) < 0.01
 
 
 def test_long_pipeline_chunk_size_invariance():
@@ -98,9 +131,7 @@ def test_long_pipeline_chunk_size_invariance():
     yb, _ = LongPipeline(fs, f0_floor=40.0, chunk_frames=900,
                          harvest_chunk_ms=6000).copy_synthesis(x, key=key)
     assert len(ya) == len(yb)
-    d = ya.astype(np.float64) - yb.astype(np.float64)
-    rms = float(np.sqrt((yb.astype(np.float64) ** 2).mean()))
-    assert float(np.sqrt((d ** 2).mean())) / rms < 0.01
+    _assert_waveforms_match(ya, yb)
 
 
 def test_long_pipeline_duration_and_pitch():

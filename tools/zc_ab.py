@@ -99,16 +99,9 @@ def main():
 
     variants = [
         ("warmup", variant()),
-        ("default", variant()),          # ft-adaptive + indep/skip stores
-        ("ft1", variant(
-            groups=Z.make_groups(geo_k, ft=1))),
-        ("r4_geom", variant(
-            groups=Z.make_groups(geo_k, ft=1, win_round=64))),
-        ("groups8", variant(
-            groups=Z.make_groups(geo_k, n_groups=8))),
-        ("groups10", variant(
-            groups=Z.make_groups(geo_k, n_groups=10))),
-        ("rb4", variant(rb=4)),
+        ("default", variant()),
+        ("cs256", variant(cs=256)),
+        ("cs256_rb4", variant(cs=256, rb=4)),
     ]
     if only:
         variants = [(n, f) for n, f in variants if n in only]

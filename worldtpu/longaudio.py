@@ -56,9 +56,18 @@ def analysis_halo_samples(fs, f0_floor):
 
 
 def _timebase_core(f0_blk, o0, flo, carry, *, dt, fs, fft_size, fp_s, L,
-                   slack, Fb, Pmax, out_length):
+                   slack, Fb, Pmax, out_length, Fg=None):
     """Q32 pulse detection for one chunk (reference :180-288 with carried
-    phase).  Returns everything both the prescan and the synthesis need."""
+    phase).  Returns everything both the prescan and the synthesis need.
+
+    ``Fg``: GLOBAL coarse-knot count (the unchunked f0 length).  The f32
+    segment lookup uses the same global uniform-grid formula as
+    synthesis._time_base — global t, global k — evaluated on the local
+    block, so the chunked pulse train is BITWISE equal to the unchunked
+    one.  (interp1 on locally-shifted times rounds knife edges
+    differently; ONE extra/missing pulse at a V/UV boundary permanently
+    shifts every later counter-based noise ordinal — observed as a 40%
+    rel-RMS divergence from a single silence gap.)"""
     lowest_f0 = fs / fft_size + 1.0
     cf0 = jnp.where(f0_blk < lowest_f0, 0.0, f0_blk)
     cvuv = jnp.where(cf0 == 0.0, 0.0, 1.0)
@@ -69,9 +78,20 @@ def _timebase_core(f0_blk, o0, flo, carry, *, dt, fs, fft_size, fp_s, L,
     coarse_t = jnp.arange(Fb + 1, dtype=dt) * fp_s
 
     s = jnp.arange(L + slack)
-    t_loc = (o0 + s).astype(dt) / fs - flo.astype(dt) * fp_s
-    f0i = interp1(coarse_t, cf0, t_loc)
-    vuvi = interp1(coarse_t, cvuv, t_loc)
+    if dt == jnp.float64 or Fg is None:
+        t_loc = (o0 + s).astype(dt) / fs - flo.astype(dt) * fp_s
+        f0i = interp1(coarse_t, cf0, t_loc)
+        vuvi = interp1(coarse_t, cvuv, t_loc)
+    else:
+        tg = (o0 + s).astype(dt) / fs       # global times, bitwise equal
+        kg = jnp.clip((tg / fp_s).astype(jnp.int32) + 1, 1, Fg)
+        kl = jnp.clip(kg - flo, 1, Fb)
+        x0 = kg.astype(dt) * fp_s - fp_s
+        sf = (tg - x0) / fp_s
+        f0_lo, f0_hi = jnp.take(cf0, kl - 1), jnp.take(cf0, kl)
+        v_lo, v_hi = jnp.take(cvuv, kl - 1), jnp.take(cvuv, kl)
+        f0i = f0_lo + sf * (f0_hi - f0_lo)
+        vuvi = v_lo + sf * (v_hi - v_lo)
     vuvi = jnp.where(vuvi > 0.5, 1.0, 0.0)
     f0i = jnp.where(vuvi == 0.0, C.DEFAULT_F0, f0i)
 
@@ -117,6 +137,7 @@ def _phase_prescan(f0_full, *, fs, fft_size, fp_s, L, slack, Fb, Pmax,
                        F_pad - Fb)
         f0_blk = jax.lax.dynamic_slice(f0_full, (flo,), (Fb,))
         tb = _timebase_core(f0_blk, o0, flo, carry, dt=dt, fs=fs,
+                            Fg=F_pad - Fb,
                             fft_size=fft_size, fp_s=fp_s, L=L, slack=slack,
                             Fb=Fb, Pmax=Pmax, out_length=out_length)
         return ((tb["carry_out"], ordn + tb["n_own"]),
@@ -184,7 +205,8 @@ def _chunk_step(x_pad, f0_full, k, carry, ord0, key, *, fs, fft_size,
     # ---- chunked time base (reference :180-288 with carried phase) ----
     tb = _timebase_core(f0_blk, o0, flo, carry, dt=dt, fs=fs,
                         fft_size=fft_size, fp_s=fp_s, L=L, slack=slack,
-                        Fb=Fb, Pmax=Pmax, out_length=out_length)
+                        Fb=Fb, Pmax=Pmax, out_length=out_length,
+                        Fg=F_pad - Fb)
     fbits, idx, n_det = tb["fbits"], tb["idx"], tb["n_det"]
     own, n_own = tb["own"], tb["n_own"]
     vuvi = tb["vuvi"]
@@ -202,9 +224,13 @@ def _chunk_step(x_pad, f0_full, k, carry, ord0, key, *, fs, fft_size,
     ns = jnp.where(own, ns, 0)
 
     noise = S.indexed_noise(key, ord0, Pmax, fft_size, dt)
-    pt = (o0 + idx).astype(dt) / fs / fp_s - flo.astype(dt)
+    # GLOBAL fractional frame position (identical float ops to the
+    # unchunked path) + integer block offset: floor/ceil/frac then match
+    # bitwise — a locally-rebased pt flipped frame selection at knife
+    # edges and decorrelated noise-region responses (r5 bug fix)
+    pt = (o0 + idx).astype(dt) / fs / fp_s
     resp = S.pulse_responses(pt, shift, ns, vuv_at, own, spec, ap, noise,
-                             fs=fs, fft_size=fft_size)
+                             fs=fs, fft_size=fft_size, frame_offset=flo)
 
     # ---- OLA into the local buffer (reference :118-139) ----
     # pulse at local sample idx writes [idx - half + 1, idx + half]; buffer

@@ -71,15 +71,17 @@ class _GroupGeom:
         # merge-sweep window: locations per frame tile + slack.  The
         # crossing rate of a [0.5b, 1.5b]-bandpassed signal is bounded by
         # 1.5b; 1.65 margin + base-quantization slack.  A frame tile is
-        # ft*128 frames: low-frequency groups take ft > 1 so the +24
-        # fixed slack amortizes (at ft=1 it was up to 4x the real window
-        # for the lowest bands) and the serial tile loop shortens; ft is
-        # capped so the window stays ~<= 256 rows (VMEM tile shape).
+        # ft*128 frames; ft > 1 amortizes the fixed slack + per-tile prep
+        # for low groups (r5 device A/B with the joint window prep: 49.2
+        # vs 52.1 ms at ft=1) BUT the [wext, ft*128] sweep temporaries
+        # scale with ft and blew the 16 MB scoped-VMEM limit on long-form
+        # geometries (12 s harvest chunks, F ~ 14k) at ft up to 12 — so
+        # ft caps at 4 and long frame axes fall back to 1.
         # Alignment only needs the f32 sublane tile (8); the old
         # 64-rounding cost low groups ~1.5x phase-2 work.
         base = max(1, int(0.128 * geo.grid_ms * bound_top * 1.65))
         if ft is None:
-            ft = max(1, min(12, 224 // base))
+            ft = max(1, min(4, 224 // base)) if geo.f0_length <= 8000 else 1
         self.ft = ft
         self.win = _round_up(base * ft + 24, win_round)
         self.e_cap = _round_up(max(self.e_cap, self.win + 16), 128)
@@ -109,8 +111,8 @@ def make_groups(geo, n_groups=5, stride=1, win_round=8, ft=None):
 
 def _zc_group_kernel(filt_ref, out_ref, colbuf, wbuf, cnt_smem, *,
                      y_length, stot, f_pad, e_cap, c_row, win, fs_a,
-                     n_frames_tiles, rb=1, grid_hz=1000.0, ft=1):
-    """``rb`` bands per grid cell.  filt_ref [rb, 128, Stot], out
+                     n_frames_tiles, rb=1, grid_hz=1000.0, ft=1, cs=128):
+    """``rb`` bands per grid cell.  filt_ref [rb, cs, Stot], out
     [rb, 8, Fpad] (row 0 of the middle dim carries each band's result; the
     8-row middle dim exists only to satisfy Mosaic's (8, 128)-divisible
     block rule).
@@ -123,12 +125,17 @@ def _zc_group_kernel(filt_ref, out_ref, colbuf, wbuf, cnt_smem, *,
     dt = jnp.float32
     nch = 4 * rb                                         # fused chains
 
-    sub = jax.lax.broadcasted_iota(jnp.int32, (128, stot), 0)
-    lane = jax.lax.broadcasted_iota(jnp.int32, (128, stot), 1)
-    gi = sub + 128 * lane                                # global sample index
+    # cs = samples per compaction column (per-column capacity c_row scales
+    # with it at the call site).  cs=256 halves the dynamic-store count at
+    # 2x the k-loop trips; r5 device A/B: 54.3 vs 49.1 ms — REJECTED
+    # (after the independent-offset stores the k-loop cost dominates the
+    # halved stores).  cs=128 stays the default.
+    sub = jax.lax.broadcasted_iota(jnp.int32, (cs, stot), 0)
+    lane = jax.lax.broadcasted_iota(jnp.int32, (cs, stot), 1)
+    gi = sub + cs * lane                                 # global sample index
 
-    tri = (jax.lax.broadcasted_iota(jnp.int32, (128, 128), 0)
-           >= jax.lax.broadcasted_iota(jnp.int32, (128, 128), 1)
+    tri = (jax.lax.broadcasted_iota(jnp.int32, (cs, cs), 0)
+           >= jax.lax.broadcasted_iota(jnp.int32, (cs, cs), 1)
            ).astype(dt)                                  # inclusive lower-tri
 
     colbuf[...] = jnp.full((e_cap, nch), jnp.inf, dt)
@@ -137,7 +144,7 @@ def _zc_group_kernel(filt_ref, out_ref, colbuf, wbuf, cnt_smem, *,
     chunks = []
     ccols = []
     for r in range(rb):
-        sT = filt_ref[r]                                 # [128, Stot]
+        sT = filt_ref[r]                                 # [cs, Stot]
         # s_{i+1} in lane-major layout: shift down one sublane, last
         # sublane takes the next column's first sublane
         top = sT[0:1, :]                                 # [1, Stot]
@@ -308,7 +315,7 @@ def _zc_group_kernel(filt_ref, out_ref, colbuf, wbuf, cnt_smem, *,
 
 
 def _zc_group_call(filt_T, *, y_length, stot, f_pad, e_cap, c_row, win,
-                   fs_a, interpret, rb=2, grid_hz=1000.0, ft=1):
+                   fs_a, interpret, rb=2, grid_hz=1000.0, ft=1, cs=128):
     nb = filt_T.shape[0]
     nbp = _round_up(nb, rb)
     if nbp != nb:
@@ -320,11 +327,11 @@ def _zc_group_call(filt_T, *, y_length, stot, f_pad, e_cap, c_row, win,
     kern = functools.partial(
         _zc_group_kernel, y_length=y_length, stot=stot, f_pad=f_pad,
         e_cap=e_cap, c_row=c_row, win=win, fs_a=fs_a,
-        n_frames_tiles=n_tiles, rb=rb, grid_hz=grid_hz, ft=ft)
+        n_frames_tiles=n_tiles, rb=rb, grid_hz=grid_hz, ft=ft, cs=cs)
     out = pl.pallas_call(
         kern,
         grid=(nbp // rb,),
-        in_specs=[pl.BlockSpec((rb, 128, stot), lambda i: (i, 0, 0),
+        in_specs=[pl.BlockSpec((rb, cs, stot), lambda i: (i, 0, 0),
                                memory_space=pltpu.VMEM)],
         out_specs=pl.BlockSpec((rb, 8, f_pad), lambda i: (i, 0, 0),
                                memory_space=pltpu.VMEM),
@@ -485,6 +492,8 @@ def _zc_events_call(filt_T, *, y_length, stot, e_cap, c_row, interpret,
 #: at import time; the per-call rb=/groups= parameters override them.
 _RB = FLAGS.zc_rb
 _NGROUPS = FLAGS.zc_groups
+#: samples per phase-1 compaction column (per-call override cs=)
+_CS = 128
 
 
 def capacity_violations(filt, geo, *, groups=None):
@@ -566,7 +575,7 @@ def capacity_violations(filt, geo, *, groups=None):
 
 def band_candidates_pallas(filt, geo, *, bounds=None, groups=None,
                            interpret=False, rb=None, phase1_only=False,
-                           p1_mode="full"):
+                           p1_mode="full", cs=None):
     """Raw candidate contours [nb, F] from band-filtered signals [nb, L].
 
     Drop-in replacement for vmap(_band_candidates) over the filter bank
@@ -581,23 +590,30 @@ def band_candidates_pallas(filt, geo, *, bounds=None, groups=None,
     assert y_len == geo.y_length
     if rb is None:
         rb = _RB
+    if cs is None:
+        cs = _CS
     if groups is None:
         groups = make_groups(geo, n_groups=_NGROUPS)
     if bounds is None:
         bounds = jnp.asarray(geo.boundary_f0, jnp.float32)
     F = geo.f0_length
     f_pad = _round_up(F, 128)
-    stot = _round_up(y_len, 128) // 128
-    pad = stot * 128 - y_len
+    stot = _round_up(y_len, cs) // cs
+    pad = stot * cs - y_len
     filt_p = jnp.pad(filt.astype(jnp.float32), ((0, 0), (0, pad)))
-    # lane-major layout: sample i -> (sublane i%128, lane i//128)
-    filt_T = filt_p.reshape(nb, stot, 128).transpose(0, 2, 1)
+    # lane-major layout: sample i -> (sublane i%cs, lane i//cs)
+    filt_T = filt_p.reshape(nb, stot, cs).transpose(0, 2, 1)
+    if phase1_only:
+        stot1 = _round_up(y_len, 128) // 128
+        filt_T1 = jnp.pad(filt.astype(jnp.float32),
+                          ((0, 0), (0, stot1 * 128 - y_len)))
+        filt_T1 = filt_T1.reshape(nb, stot1, 128).transpose(0, 2, 1)
 
     outs = []
     for g in groups:
         if phase1_only:
             ev, ccol = _zc_events_call(
-                filt_T[g.lo:g.hi], y_length=y_len, stot=stot,
+                filt_T1[g.lo:g.hi], y_length=y_len, stot=stot1,
                 e_cap=g.e_cap, c_row=g.c_row, interpret=interpret, rb=rb,
                 mode=p1_mode)
             # cheap reduce keeps XLA from eliding the kernel
@@ -609,9 +625,9 @@ def band_candidates_pallas(filt, geo, *, bounds=None, groups=None,
             continue
         raw = _zc_group_call(
             filt_T[g.lo:g.hi], y_length=y_len, stot=stot, f_pad=f_pad,
-            e_cap=g.e_cap, c_row=g.c_row, win=g.win,
+            e_cap=g.e_cap, c_row=g.c_row * (cs // 128), win=g.win,
             fs_a=float(geo.actual_fs), interpret=interpret, rb=rb,
-            grid_hz=1000.0 / geo.grid_ms, ft=getattr(g, "ft", 1))
+            grid_hz=1000.0 / geo.grid_ms, ft=getattr(g, "ft", 1), cs=cs)
         outs.append(raw[:, 0, :F])
     cand = jnp.concatenate(outs, axis=0)                 # [nb, F] means
 

@@ -75,12 +75,14 @@ def _time_base(f0, fs, frame_period_s, out_length, lowest_f0, max_pulses):
         vuvi = interp1(coarse_t, coarse_vuv, t)
     else:
         # production path: the knot grid IS uniform (j * frame_period), so
-        # the histc binary search collapses to direct indexing — one shared
-        # segment index for both interps instead of 2x ~10 gather rounds
-        # over T samples.  histc's right-side rule k = searchsorted(right)
-        # equals floor(t/fp)+1 except when t lands exactly on a knot after
-        # f32 rounding — a knife-edge segment flip the f32 path already
-        # tolerates elsewhere (Q32 pulse timing).
+        # the histc binary search collapses to direct indexing.  CRITICAL
+        # contract: worldtpu.longaudio._timebase_core computes the SAME
+        # global formula (k from t/fp, s from t - x0) on its local frame
+        # blocks, so the chunked and unchunked pulse trains are BITWISE
+        # equal — a single knife-edge V/UV pulse flip between the two
+        # paths permanently shifts every later counter-based noise
+        # ordinal (r5: a 40% rel-RMS divergence from one silence-gap
+        # boundary).  Change one side only with its twin.
         k = jnp.clip((t / frame_period_s).astype(jnp.int32) + 1, 1, F)
         x0 = k.astype(dt) * frame_period_s - frame_period_s
         s = (t - x0) / frame_period_s
@@ -126,20 +128,25 @@ def _time_base(f0, fs, frame_period_s, out_length, lowest_f0, max_pulses):
 
 
 def pulse_responses(pt, shift, ns, vuv_at, valid, spectrogram,
-                    aperiodicity, noise, *, fs, fft_size):
+                    aperiodicity, noise, *, fs, fft_size, frame_offset=0):
     """Per-pulse impulse responses [P, fft_size] (reference :308-344).
 
     The pulse-description arrays come from :func:`_time_base` (or the
     chunked variant in :mod:`worldtpu.longaudio`):
 
-        pt: [P] fractional frame position of each pulse (sample/fs/fp,
-            relative to spectrogram's first frame).
+        pt: [P] fractional frame position of each pulse (sample/fs/fp).
         shift: [P] sub-sample time shift (s).
         ns: [P] noise size (samples to next pulse; reference :106).
         vuv_at: [P] voicedness at the pulse sample.
         valid: [P] mask of real pulses.
         spectrogram, aperiodicity: [F, K].
         noise: [P, fft_size] standard-normal rows.
+        frame_offset: integer frame index of spectrogram's first row.
+            Chunked callers pass GLOBAL pt and the block offset so
+            floor/ceil/frac are computed on the SAME float values as the
+            unchunked path — a locally-rebased pt can floor to the
+            neighboring frame at knife edges, which decorrelates the
+            response wherever adjacent envelopes differ (noise regions).
     """
     dt = spectrogram.dtype
     K = fft_size // 2 + 1
@@ -147,8 +154,8 @@ def pulse_responses(pt, shift, ns, vuv_at, valid, spectrogram,
     F = spectrogram.shape[0]
 
     # ---- per-pulse envelope / aperiodic ratio (reference :346-393) ----
-    fl = jnp.clip(jnp.floor(pt).astype(jnp.int32), 0, F - 1)
-    ce = jnp.clip(jnp.ceil(pt).astype(jnp.int32), 0, F - 1)
+    fl = jnp.clip(jnp.floor(pt).astype(jnp.int32) - frame_offset, 0, F - 1)
+    ce = jnp.clip(jnp.ceil(pt).astype(jnp.int32) - frame_offset, 0, F - 1)
     w = (pt - jnp.floor(pt))[:, None].astype(dt)
     sp = jnp.abs(spectrogram)
     spec = jnp.where(fl[:, None] == ce[:, None], sp[fl],

@@ -4,15 +4,12 @@ batched programs.
 Like test_longform.py this is slow (a 60 s utterance through both paths);
 WORLDTPU_LONG_TEST_SECONDS overrides the duration for local iteration.
 
-Tolerances: the chunked synthesis places pulses via the same Q32
-accumulator (bitwise-continued across chunks), but the per-chunk f32
-interpolation of F0 to the sample grid rounds differently from the
-unchunked global one, so a handful of pulse boundaries land one sample
-apart; the fractional-delay phase twist keeps the waveform continuous in
-the boundary position, leaving a small localized residual (<0.5% relative
-RMS measured).  Analysis frames see identical audio through the halo;
-window knife-edges (frame time exactly on a half sample) can shift one
-sample the same way.
+Tolerances: see _assert_waveforms_match — the chunked synthesis places
+pulses via the same Q32 accumulator with the SAME global f32 segment
+formula (r5 fix), so the only legitimate divergence left is +-1-sample
+pulse wobble from cross-compilation-context float contraction
+(--xla_allow_excess_precision), gated by envelope + median-alignment
+criteria that still catch every real desync class.
 """
 
 import os

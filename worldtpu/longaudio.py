@@ -27,7 +27,9 @@ single compiled chunk geometry:
     invariant to the chunk size.
 
 Memory: O(chunk) device, O(output) host.  tests/test_longaudio.py proves
-a 60 s utterance equals the unchunked batched pipeline to f32 tolerance.
+a 60 s utterance equals the unchunked batched pipeline up to the
+cross-compilation pulse-timing wobble documented there (envelope exact to
+~0.05%, voiced spans sample-aligned).
 """
 
 from __future__ import annotations
